@@ -1,0 +1,127 @@
+"""BFV encryption and decryption.
+
+Reference: /root/reference/src/bfv/encrypt.rs.  Encryption is fully
+device-side and batch-aware; decryption computes the phase on device and does
+the CRT + round(p*x/Q) scaling on host with exact Python ints (the analogue
+of the reference's BigUint path, encrypt.rs:142-172).  A device-side scaling
+path for single-prime Q exists in :func:`decrypt_residues_device`-free form
+later (bench path) — host is the verification oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import InvalidParam
+from ..params import BfvParams
+from ..ring import wordops as w
+from ..ring.rns import (
+    RnsPoly, from_coeff_residues, rp_add, rp_mul, rp_neg, rp_scalar_mul,
+    to_u64_host, crt_to_ints_host,
+)
+from ..sampling import (
+    sample_binary_rns, sample_gaussian_rns, sample_uniform_rns,
+)
+from . import BfvCiphertext
+from .encoding import Plaintext
+from .keygen import PublicKey, SecretKey
+
+
+def scale_plaintext(plaintext: Plaintext, params: BfvParams) -> RnsPoly:
+    """Delta * m as an RnsPoly (reference encrypt.rs:181-229)."""
+    basis = params.ct_basis
+    coeffs = np.asarray(plaintext.coeffs, dtype=np.uint64)
+    if coeffs.shape[-1] != params.ring_degree:
+        raise InvalidParam(
+            f"plaintext degree {coeffs.shape[-1]} != n={params.ring_degree}")
+    lo, hi = w.to_pair_np(coeffs)
+    pair = (jnp.asarray(lo)[..., None, :], jnp.asarray(hi)[..., None, :])
+    red = w.mod_from_u64(pair, basis.bq(1), basis.bqinv(1), basis.br1(1))
+    m_poly = from_coeff_residues(basis, red)
+    return rp_scalar_mul(basis, m_poly, params.delta_mont)
+
+
+def encrypt_pk(key, plaintext: Plaintext, pk: PublicKey,
+               batch_shape=()) -> BfvCiphertext:
+    """ct = (pk0 u + e1 + Delta m, pk1 u + e2), u binary
+    (reference encrypt.rs:29-64)."""
+    params = pk.params
+    basis = params.ct_basis
+    delta_m = scale_plaintext(plaintext, params)
+    k_u, k_e1, k_e2 = jax.random.split(key, 3)
+    u = sample_binary_rns(k_u, basis, batch_shape)
+    e1 = sample_gaussian_rns(k_e1, basis, params.sigma, batch_shape)
+    e2 = sample_gaussian_rns(k_e2, basis, params.sigma, batch_shape)
+    c0 = rp_add(basis, rp_add(basis, rp_mul(basis, pk.pk0, u), e1), delta_m)
+    c1 = rp_add(basis, rp_mul(basis, pk.pk1, u), e2)
+    return BfvCiphertext(c=(c0, c1), params=params)
+
+
+def encrypt_sk(key, plaintext: Plaintext, sk: SecretKey,
+               batch_shape=()) -> BfvCiphertext:
+    """ct = (-a s + e + Delta m, a) (reference encrypt.rs:79-106)."""
+    params = sk.params
+    basis = params.ct_basis
+    delta_m = scale_plaintext(plaintext, params)
+    k_a, k_e = jax.random.split(key)
+    a = sample_uniform_rns(k_a, basis, batch_shape)
+    e = sample_gaussian_rns(k_e, basis, params.sigma, batch_shape)
+    c0 = rp_add(basis, rp_add(basis, rp_neg(basis, rp_mul(basis, a, sk.poly)), e),
+                delta_m)
+    return BfvCiphertext(c=(c0, a), params=params)
+
+
+def phase(ct: BfvCiphertext, sk: SecretKey) -> RnsPoly:
+    """c0 + c1 s + c2 s^2 + ... in RNS-NTT domain (reference encrypt.rs:117-124)."""
+    basis = ct.params.ct_basis
+    acc = ct.c[0]
+    s_pow = sk.poly
+    for i in range(1, len(ct.c)):
+        acc = rp_add(basis, acc, rp_mul(basis, ct.c[i], s_pow))
+        if i + 1 < len(ct.c):
+            s_pow = rp_mul(basis, s_pow, sk.poly)
+    return acc
+
+
+def decrypt(ct: BfvCiphertext, sk: SecretKey) -> Plaintext:
+    """m = round(p * phase / Q) mod p, exact host CRT scaling
+    (reference encrypt.rs:111-178)."""
+    params = ct.params
+    residues = to_u64_host(params.ct_basis, phase(ct, sk))
+    xs = crt_to_ints_host(params.ct_basis, residues)
+    p = params.plain_modulus
+    big_q = params.big_q
+    half_q = big_q >> 1
+
+    flat = xs.reshape(-1)
+    out = np.empty(flat.shape, dtype=np.uint64)
+    for i, x in enumerate(flat):
+        out[i] = ((int(x) * p + half_q) // big_q) % p
+    return Plaintext(coeffs=out.reshape(xs.shape), modulus=p)
+
+
+def noise_inf_norm(ct: BfvCiphertext, sk: SecretKey, expected: Plaintext) -> np.ndarray:
+    """Max |phase - Delta*m| over coefficients (centered) — the noise meter.
+
+    First-class port of the repro binary's measurement
+    (/root/reference/src/bin/paper_repro.rs:249-281), exposed as API per the
+    survey's observability note.
+    """
+    params = ct.params
+    residues = to_u64_host(params.ct_basis, phase(ct, sk))
+    xs = crt_to_ints_host(params.ct_basis, residues)
+    big_q = params.big_q
+    delta = params.delta
+    m = np.asarray(expected.coeffs, dtype=np.uint64)
+    flat_x = xs.reshape(-1, params.ring_degree)
+    flat_m = np.broadcast_to(m, flat_x.shape) if m.ndim == 1 else m.reshape(-1, params.ring_degree)
+    worst = 0
+    for b in range(flat_x.shape[0]):
+        for j in range(params.ring_degree):
+            diff = (int(flat_x[b, j]) - delta * int(flat_m[b, j])) % big_q
+            if diff > big_q // 2:
+                diff -= big_q
+            worst = max(worst, abs(diff))
+    return worst
