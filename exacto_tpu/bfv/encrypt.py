@@ -44,11 +44,17 @@ def scale_plaintext(plaintext: Plaintext, params: BfvParams) -> RnsPoly:
 
 
 def encrypt_pk(key, plaintext: Plaintext, pk: PublicKey,
-               batch_shape=()) -> BfvCiphertext:
+               batch_shape=None) -> BfvCiphertext:
     """ct = (pk0 u + e1 + Delta m, pk1 u + e2), u binary
-    (reference encrypt.rs:29-64)."""
+    (reference encrypt.rs:29-64).
+
+    batch_shape defaults to the plaintext's leading dims: one independent
+    ciphertext (fresh randomness) per plaintext row.
+    """
     params = pk.params
     basis = params.ct_basis
+    if batch_shape is None:
+        batch_shape = np.asarray(plaintext.coeffs).shape[:-1]
     delta_m = scale_plaintext(plaintext, params)
     k_u, k_e1, k_e2 = jax.random.split(key, 3)
     u = sample_binary_rns(k_u, basis, batch_shape)
@@ -60,10 +66,16 @@ def encrypt_pk(key, plaintext: Plaintext, pk: PublicKey,
 
 
 def encrypt_sk(key, plaintext: Plaintext, sk: SecretKey,
-               batch_shape=()) -> BfvCiphertext:
-    """ct = (-a s + e + Delta m, a) (reference encrypt.rs:79-106)."""
+               batch_shape=None) -> BfvCiphertext:
+    """ct = (-a s + e + Delta m, a) (reference encrypt.rs:79-106).
+
+    batch_shape defaults to the plaintext's leading dims: one independent
+    ciphertext (fresh randomness) per plaintext row.
+    """
     params = sk.params
     basis = params.ct_basis
+    if batch_shape is None:
+        batch_shape = np.asarray(plaintext.coeffs).shape[:-1]
     delta_m = scale_plaintext(plaintext, params)
     k_a, k_e = jax.random.split(key)
     a = sample_uniform_rns(k_a, basis, batch_shape)
