@@ -1,0 +1,102 @@
+"""Headline benchmark: batched u64 dBFV multiplies/sec on one TPU chip.
+
+Baseline (BASELINE.md): the Rust reference does one u64 dBFV multiply
+(p=2^64, d=8, b=256, n=4096, preset `u64_dbfv`) in 31.395 ms sequentially
+on CPU => ~31.85 ops/s.  Here the same operation runs as one batched tensor
+program on the TPU: all 64 digit-products, their HPS RNS multiplies,
+relinearizations and the lattice degree reduction fuse over a ciphertext
+batch axis.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ops/s", "vs_baseline": N/31.85, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_OPS_PER_S = 1000.0 / 31.395  # reference u64 dBFV mul, d=8 profile
+
+
+def main():
+    import jax
+
+    quick = "--quick" in sys.argv
+    batch = int(os.environ.get("BENCH_BATCH", "16" if quick else "64"))
+    iters = 2 if quick else 5
+
+    from exacto_tpu.params.presets import u64_dbfv
+    from exacto_tpu.bfv import gen_relin_key, gen_secret_key
+    from exacto_tpu.dbfv import dbfv_encrypt_sk, dbfv_decrypt, dbfv_mul
+
+    if quick:
+        from exacto_tpu.params import BfvParamsBuilder, DbfvParams
+
+        bfv = (BfvParamsBuilder().ring_degree(256).plain_modulus(1040407)
+               .ct_moduli([1152921504606830593])
+               .aux_moduli([18014398509998081, 36028797018972161])
+               .gadget_base(256).sigma(3.2).build())
+        params = DbfvParams.create(bfv, 256, 8, 0)
+    else:
+        params = u64_dbfv()
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    # jit every stage: eager dispatch over the axon tunnel is ~ms/op
+    sk = jax.jit(lambda k: gen_secret_key(k, params.bfv_params))(k1)
+    rlk = jax.jit(lambda k: gen_relin_key(k, sk))(k2)
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 63, size=batch, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=batch, dtype=np.uint64) * 2 + 1
+    ct1 = jax.jit(lambda k: dbfv_encrypt_sk(k, a, sk, params))(k3)
+    ct2 = jax.jit(lambda k: dbfv_encrypt_sk(k, b, sk, params))(k4)
+
+    mul = jax.jit(lambda x, y, r: dbfv_mul(x, y, r))
+
+    t0 = time.time()
+    out = mul(ct1, ct2, rlk)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = mul(ct1, ct2, rlk)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    ops = batch / best
+
+    # correctness spot-check on one batch element (host decrypt)
+    def take0(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x[0] if hasattr(x, "ndim") and x.ndim >= 4 else x, tree)
+
+    ok = True
+    try:
+        got = dbfv_decrypt(take0(out), sk)
+        ok = int(got) == int((int(a[0]) * int(b[0])) % (1 << 64))
+    except Exception:
+        ok = False
+
+    print(json.dumps({
+        "metric": "batched u64 dBFV muls/sec/chip (p=2^64, d=8, b=256, n=%d)"
+                  % params.bfv_params.ring_degree,
+        "value": round(ops, 2),
+        "unit": "ops/s",
+        "vs_baseline": round(ops / BASELINE_OPS_PER_S, 2),
+        "batch": batch,
+        "step_ms": round(best * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+        "parity_check": ok,
+    }))
+
+
+if __name__ == "__main__":
+    main()

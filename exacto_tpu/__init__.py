@@ -11,3 +11,14 @@ tensor kernels (no 64-bit ALU on TPU), sharded over device meshes.
 __version__ = "0.1.0"
 
 from . import errors, ring  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy subpackage access: exacto_tpu.bfv, .dbfv, .bootstrap, .params,
+    # .sampling, .parallel, .utils without paying import cost up front
+    import importlib
+
+    if name in ("bfv", "dbfv", "bootstrap", "params", "sampling", "parallel",
+                "utils"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module 'exacto_tpu' has no attribute {name!r}")

@@ -97,11 +97,25 @@ def phase(ct: BfvCiphertext, sk: SecretKey) -> RnsPoly:
     return acc
 
 
+@jax.jit
+def _phase_residues(ct: BfvCiphertext, sk: SecretKey):
+    """Jitted device part of decryption: phase + INTT + de-Montgomery."""
+    from ..ring.rns import to_coeff_residues
+
+    return to_coeff_residues(ct.params.ct_basis, phase(ct, sk))
+
+
+def phase_residues_host(ct: BfvCiphertext, sk: SecretKey) -> np.ndarray:
+    """Standard-form phase residues pulled to host as uint64 [..., L, n]."""
+    lo, hi = _phase_residues(ct, sk)
+    return w.from_pair_np(np.asarray(lo), np.asarray(hi))
+
+
 def decrypt(ct: BfvCiphertext, sk: SecretKey) -> Plaintext:
     """m = round(p * phase / Q) mod p, exact host CRT scaling
     (reference encrypt.rs:111-178)."""
     params = ct.params
-    residues = to_u64_host(params.ct_basis, phase(ct, sk))
+    residues = phase_residues_host(ct, sk)
     xs = crt_to_ints_host(params.ct_basis, residues)
     p = params.plain_modulus
     big_q = params.big_q
@@ -122,7 +136,7 @@ def noise_inf_norm(ct: BfvCiphertext, sk: SecretKey, expected: Plaintext) -> np.
     survey's observability note.
     """
     params = ct.params
-    residues = to_u64_host(params.ct_basis, phase(ct, sk))
+    residues = phase_residues_host(ct, sk)
     xs = crt_to_ints_host(params.ct_basis, residues)
     big_q = params.big_q
     delta = params.delta

@@ -30,7 +30,7 @@ from . import BfvCiphertext
 from .encoding import Plaintext
 from .encrypt import scale_plaintext
 from .keygen import GaloisKey, RelinKey
-from .keyswitch import gadget_decompose_device, keyswitch_inner_product, relinearize
+from .keyswitch import gadget_digits_rns, keyswitch_inner_product, relinearize
 
 
 # ---------------------------------------------------------------------------
@@ -363,8 +363,7 @@ def bfv_apply_automorphism(ct: BfvCiphertext, gk: GaloisKey) -> BfvCiphertext:
     basis = params.ct_basis
     c0a = rp_automorphism(basis, ct.c[0], gk.element)
     c1a = rp_automorphism(basis, ct.c[1], gk.element)
-    res = to_coeff_residues(basis, c1a)
-    digits = gadget_decompose_device(params, (res[0][..., 0, :], res[1][..., 0, :]))
+    digits = gadget_digits_rns(params, c1a)
     d0, d1 = keyswitch_inner_product(basis, digits, gk.ks0, gk.ks1)
     return BfvCiphertext(c=(rp_add(basis, c0a, d0), d1), params=params)
 

@@ -70,8 +70,25 @@ class GaloisKey:
     params: BfvParams = None
 
 
-def gen_secret_key(key, params: BfvParams) -> SecretKey:
-    s = sample_ternary_rns(key, params.ct_basis)
+def gen_secret_key(key, params: BfvParams, hamming_weight: int | None = None) -> SecretKey:
+    """Ternary secret key; optionally sparse with fixed Hamming weight.
+
+    Sparse ternary secrets (h nonzeros) are the standard bootstrapping
+    trick to bound the re-encrypted phase range |c1' * s| <= h * q'/2 — the
+    reference has dense ternary only (keygen.rs:64-79); the sparse option is
+    an addition used by the bootstrap parameter sets.
+    """
+    if hamming_weight is None:
+        s = sample_ternary_rns(key, params.ct_basis)
+    else:
+        n = params.ring_degree
+        k_pos, k_sign = jax.random.split(key)
+        perm = jax.random.permutation(k_pos, n)
+        signs = jax.random.rademacher(k_sign, (n,), dtype=jnp.int32)
+        mask = (jnp.argsort(perm) < hamming_weight).astype(jnp.int32)
+        from ..ring.rns import from_signed_coeffs
+
+        s = from_signed_coeffs(params.ct_basis, signs * mask)
     return SecretKey(poly=s, params=params)
 
 

@@ -98,6 +98,47 @@ def keyswitch_inner_product(basis: RnsBasis, digits: RnsPoly, ks0: RnsPoly,
     return accum(ks0), accum(ks1)
 
 
+def gadget_digits_rns(params: BfvParams, poly: RnsPoly) -> RnsPoly:
+    """Balanced gadget digits of an RnsPoly, ready for key switching.
+
+    Single-prime Q: fully on-device.  Multi-prime Q: exact host fallback —
+    CRT-compose each coefficient, decompose with Python ints, rebuild (the
+    reference CRT-composes via RnsPoly::to_coeff_poly, keyswitch.rs:76).
+    """
+    basis = params.ct_basis
+    if len(params.moduli) == 1:
+        res = to_coeff_residues(basis, poly)
+        return gadget_decompose_device(params, (res[0][..., 0, :], res[1][..., 0, :]))
+
+    import numpy as np
+
+    from ..ring.rns import crt_to_ints_host, from_host_residues, to_u64_host
+
+    residues = to_u64_host(basis, poly)
+    xs = crt_to_ints_host(basis, residues)
+    big_q = params.big_q
+    half_q = big_q >> 1
+    B = params.gadget_base
+    D = params.gadget_digits
+    n = params.ring_degree
+    L = basis.num_moduli
+    flat = xs.reshape(-1, n)
+    out = np.zeros((flat.shape[0], D, L, n), dtype=np.uint64)
+    for b in range(flat.shape[0]):
+        for pos in range(n):
+            rem = int(flat[b, pos])
+            rem = rem - big_q if rem > half_q else rem
+            for d in range(D):
+                r = rem % B
+                if r >= B // 2:
+                    r -= B
+                for li, m in enumerate(basis.moduli):
+                    out[b, d, li, pos] = r % m
+                rem = (rem - r) // B
+    out = out.reshape(xs.shape[:-1] + (D, L, n))
+    return from_host_residues(basis, out)
+
+
 def relinearize(ct: BfvCiphertext, rlk) -> BfvCiphertext:
     """Degree-2 -> degree-1 using the relin key (reference keyswitch.rs:59-101)."""
     if len(ct.c) < 3:
@@ -106,9 +147,7 @@ def relinearize(ct: BfvCiphertext, rlk) -> BfvCiphertext:
         raise NotImplementedYet("relinearization only supports degree-2 ciphertexts")
     params = ct.params
     basis = params.ct_basis
-    c2_res = to_coeff_residues(basis, ct.c[2])
-    c2_pair = (c2_res[0][..., 0, :], c2_res[1][..., 0, :])  # single prime
-    digits = gadget_decompose_device(params, c2_pair)
+    digits = gadget_digits_rns(params, ct.c[2])
     d0, d1 = keyswitch_inner_product(basis, digits, rlk.rlk0, rlk.rlk1)
     return BfvCiphertext(
         c=(rp_add(basis, ct.c[0], d0), rp_add(basis, ct.c[1], d1)),

@@ -311,17 +311,45 @@ def _eval_exp_device(n: int):
 
 
 def rp_monomial_mul(basis: RnsBasis, poly: RnsPoly, j) -> RnsPoly:
-    """Multiply by the monomial X^j (j may be a traced scalar).
+    """Multiply by the monomial X^j (j may be a traced scalar OR an array).
 
     In eval order, (X^j * a) at eval point psi^{e_i} is psi^{j*e_i} * a_i, so
     this is a gather from the precomputed psi-power table followed by a
     pointwise product — no NTTs (reference: eval.rs:613-652 permutes
-    coefficients instead).
+    coefficients instead).  An array j of shape S produces leading batch axes
+    S on the result (used by the batched CoeffsToSlots): all n coefficient
+    extractions of the bootstrap shift in ONE op.
     """
     n = basis.ring_degree
     e = _eval_exp_device(n)  # [n] int32
     j = jnp.asarray(j, dtype=jnp.int32)
-    idx = (j * e) % (2 * n)  # exact in int32: j < 2n, e < 2n, product < 2^26
-    s = (basis.psi_pows[0][:, idx], basis.psi_pows[1][:, idx])  # [L, n]
-    lo, hi = w.mont_mul(poly.pair, s, basis.bq(1), basis.bqinv(1))
+    idx = (j[..., None] * e) % (2 * n)  # [*S, n]; exact in int32 (< 2^26)
+    s_lo = jnp.moveaxis(jnp.take(basis.psi_pows[0], idx, axis=1), 0, -2)
+    s_hi = jnp.moveaxis(jnp.take(basis.psi_pows[1], idx, axis=1), 0, -2)
+    # insert singleton axes so shift-batch dims S prepend (not collide with)
+    # the poly's own batch dims
+    S = idx.shape[:-1]
+    extra = poly.lo.ndim - 2
+    shape = S + (1,) * extra + s_lo.shape[-2:]
+    s_lo = s_lo.reshape(shape)
+    s_hi = s_hi.reshape(shape)
+    lo, hi = w.mont_mul(poly.pair, (s_lo, s_hi), basis.bq(1), basis.bqinv(1))
     return RnsPoly(lo=lo, hi=hi)
+
+
+def rp_sum_leading_axis(basis: RnsBasis, poly: RnsPoly) -> RnsPoly:
+    """Modular tree-sum over the leading batch axis: [B, ..., L, n] -> [..., L, n]."""
+    q = basis.bq(1)
+    lo, hi = poly.lo, poly.hi
+    while lo.shape[0] > 1:
+        k = lo.shape[0]
+        half = k // 2
+        a = (lo[:half], hi[:half])
+        b = (lo[half:2 * half], hi[half:2 * half])
+        s = w.mod_add64(a, b, q)
+        if k % 2:
+            lo = jnp.concatenate([s[0], lo[-1:]], axis=0)
+            hi = jnp.concatenate([s[1], hi[-1:]], axis=0)
+        else:
+            lo, hi = s
+    return RnsPoly(lo=lo[0], hi=hi[0])

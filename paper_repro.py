@@ -1,0 +1,181 @@
+"""Paper-style reproduction harness: u64 dBFV profiles on TPU.
+
+TPU-native rebuild of the reference repro binary
+(/root/reference/src/bin/paper_repro.rs): same three profiles (d=4/b=2^16,
+d=8/b=2^8, d=16/b=2^4; n=4096, 60-bit Q, two aux primes), measuring
+encrypt/add/mul latency, noise growth factor, and the unsafe depth probe
+(guard bypassed).  All hot ops are jitted; amortized per-op latency is also
+reported at batch > 1 — the TPU-native figure of merit.
+
+Writes reports/paper_reproduction.md in the reference's format.
+
+Usage: python paper_repro.py [--profiles d4,d8,d16] [--batch N] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Profile:
+    name: str
+    base: int
+    digits: int
+    bfv_plain_mod: int
+    gadget_base: int
+
+
+PROFILES = {
+    "d4": Profile("d=4, b=2^16", 1 << 16, 4, 34_359_738_367, 256),
+    "d8": Profile("d=8, b=2^8", 1 << 8, 8, 1_040_407, 256),
+    "d16": Profile("d=16, b=2^4", 1 << 4, 16, 12_289, 16),
+}
+
+
+def make_params(profile: Profile, n: int):
+    from exacto_tpu.params import BfvParamsBuilder, DbfvParams
+
+    bfv = (BfvParamsBuilder()
+           .ring_degree(n)
+           .plain_modulus(profile.bfv_plain_mod)
+           .ct_moduli([1_152_921_504_606_830_593])
+           .aux_moduli([18_014_398_509_998_081, 36_028_797_018_972_161])
+           .gadget_base(profile.gadget_base)
+           .sigma(3.2)
+           .build())
+    return DbfvParams.create(bfv, profile.base, profile.digits, 0)
+
+
+def run_profile(profile: Profile, n: int, batch: int):
+    import jax
+
+    from exacto_tpu.bfv import gen_relin_key, gen_secret_key
+    from exacto_tpu.dbfv import dbfv_add, dbfv_decrypt, dbfv_encrypt_sk, dbfv_mul
+    from exacto_tpu.dbfv.ciphertext import DbfvCiphertext
+    from exacto_tpu.utils.noise import dbfv_max_limb_noise
+
+    params = make_params(profile, n)
+    key = jax.random.PRNGKey(1337 + profile.digits)
+    ks = jax.random.split(key, 8)
+    sk = jax.jit(lambda k: gen_secret_key(k, params.bfv_params))(ks[0])
+    rlk = jax.jit(lambda k: gen_relin_key(k, sk))(ks[1])
+
+    rng = np.random.default_rng(profile.digits)
+    vals_a = rng.integers(0, 1 << 63, batch, dtype=np.uint64) * 2 + 1
+    vals_b = rng.integers(0, 1 << 63, batch, dtype=np.uint64) * 2 + 1
+
+    enc = jax.jit(lambda k, v: dbfv_encrypt_sk(k, v, sk, params))
+    t0 = time.time()
+    ct_a = jax.block_until_ready(enc(ks[2], vals_a))
+    compile_enc = time.time() - t0
+    times = []
+    for i in range(5):
+        t0 = time.time()
+        jax.block_until_ready(enc(jax.random.PRNGKey(i), vals_a))
+        times.append(time.time() - t0)
+    enc_ms = min(times) * 1e3 / batch
+    ct_b = jax.block_until_ready(enc(ks[3], vals_b))
+
+    add = jax.jit(dbfv_add)
+    jax.block_until_ready(add(ct_a, ct_b))
+    times = []
+    for _ in range(10):
+        t0 = time.time()
+        jax.block_until_ready(add(ct_a, ct_b))
+        times.append(time.time() - t0)
+    add_us = min(times) * 1e6 / batch
+
+    mul = jax.jit(lambda a, b, r: dbfv_mul(a, b, r))
+    t0 = time.time()
+    out = jax.block_until_ready(mul(ct_a, ct_b, rlk))
+    compile_mul = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = jax.block_until_ready(mul(ct_a, ct_b, rlk))
+        times.append(time.time() - t0)
+    mul_ms = min(times) * 1e3 / batch
+
+    # correctness + noise growth on one element
+    def take0(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x[0] if hasattr(x, "ndim") and x.ndim >= 4 else x, tree)
+
+    a0 = take0(ct_a)
+    b0 = take0(ct_b)
+    o0 = take0(out)
+    got = int(dbfv_decrypt(o0, sk))
+    want = (int(vals_a[0]) * int(vals_b[0])) % (1 << 64)
+    parity = got == want
+    noise_in = max(dbfv_max_limb_noise(a0, sk), dbfv_max_limb_noise(b0, sk), 1)
+    noise_out = dbfv_max_limb_noise(o0, sk)
+    growth = noise_out / noise_in
+
+    # unsafe depth probe (guard bypassed; paper_repro.rs:203-236), run on the
+    # already-compiled batched multiply; element 0 checked each round
+    depth = 0
+    acc = ct_a
+    expected = int(vals_a[0])
+    for d in range(1, 9):
+        lhs = DbfvCiphertext(limbs=acc.limbs, degree=acc.degree, mul_depth=0,
+                             params=acc.params)
+        rhs = DbfvCiphertext(limbs=ct_b.limbs, degree=ct_b.degree,
+                             mul_depth=0, params=ct_b.params)
+        try:
+            nxt = mul(lhs, rhs, rlk)
+        except Exception:
+            break
+        expected = (expected * int(vals_b[0])) % (1 << 64)
+        if int(dbfv_decrypt(take0(nxt), sk)) != expected:
+            break
+        depth = d
+        acc = nxt
+    return dict(profile=profile, enc_ms=enc_ms, add_us=add_us, mul_ms=mul_ms,
+                growth=growth, parity=parity, unsafe_depth=depth, batch=batch,
+                throughput=1e3 / mul_ms, compile_mul=compile_mul,
+                compile_enc=compile_enc)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profiles", default="d4,d8,d16")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    n = 256 if args.quick else 4096
+    batch = 8 if args.quick else args.batch
+    results = []
+    for name in args.profiles.split(","):
+        prof = PROFILES[name.strip()]
+        print(f"running {prof.name} (n={n}, batch={batch})...")
+        results.append(run_profile(prof, n, batch))
+        r = results[-1]
+        print(f"  enc {r['enc_ms']:.3f} ms | add {r['add_us']:.2f} us | "
+              f"mul {r['mul_ms']:.3f} ms/op ({r['throughput']:.0f} ops/s) | "
+              f"growth {r['growth']:.2e} | parity {r['parity']} | "
+              f"unsafe depth {r['unsafe_depth']}")
+
+    os.makedirs("reports", exist_ok=True)
+    with open("reports/paper_reproduction.md", "w") as f:
+        f.write("# Paper reproduction (exacto_tpu, single TPU chip)\n\n")
+        f.write(f"n={n}, batch={batch}; per-op numbers are amortized over the batch.\n\n")
+        f.write("| Profile | enc (ms) | add (us) | mul (ms) | mul ops/s | "
+                "noise growth | parity | unsafe depth |\n")
+        f.write("|---|---:|---:|---:|---:|---:|---|---:|\n")
+        for r in results:
+            f.write(f"| {r['profile'].name} | {r['enc_ms']:.3f} | "
+                    f"{r['add_us']:.3f} | {r['mul_ms']:.3f} | "
+                    f"{r['throughput']:.0f} | {r['growth']:.2e} | "
+                    f"{r['parity']} | {r['unsafe_depth']} |\n")
+    print("wrote reports/paper_reproduction.md")
+
+
+if __name__ == "__main__":
+    main()
