@@ -172,13 +172,16 @@ def bfv_bootstrap(ct: BfvCiphertext, bsk: BootstrapKey) -> BfvCiphertext:
 
 
 def switch_to_scheme(ct: BfvCiphertext, target: BfvParams) -> BfvCiphertext:
-    """Combined modulus + plaintext-modulus switch onto `target` params.
+    """Pure modulus switch onto `target` params (c -> round(c * q_t / Q_s)).
 
-    Scales every coefficient by (q_target * t_src) / (Q_src * t_target) with
-    rounding: phase (Q_s/t_s)m + e maps to (q_t/t_t)m + e' with
-    |e'| <~ (h+1)/2 + e * q_t/Q_s.  Same secret s (circular security), so no
-    key switch is needed — only a basis change.  This is the step the
-    reference lacks (its bootstrap output stays in the boot scheme,
+    The source ciphertext must already carry its plaintext pre-scaled for the
+    target plaintext modulus: the rounding polynomial outputs
+    m~ = round(m * t_boot / t_orig), so phase (Q_s/t_s) * m~ ~= (Q_s/t_t) * m
+    and the pure scale-by-q_t/Q_s yields a valid target-scheme encryption of
+    m.  (A combined modulus+plain-modulus switch is unsound: Q_s-wraps of the
+    integer phase would scale to non-multiples of q_t.)  Same secret s
+    (circular security), so no key switch — only a basis change.  This is the
+    step the reference lacks (its bootstrap output stays in the boot scheme,
     bfv_host.rs:212-236, which breaks a second bootstrap: the rounding
     polynomial is built for t_orig but the ciphertext then carries t_boot).
     """
@@ -186,8 +189,8 @@ def switch_to_scheme(ct: BfvCiphertext, target: BfvParams) -> BfvCiphertext:
 
     src = ct.params
     big_q = src.big_q
-    num = target.big_q * src.plain_modulus
-    den = big_q * target.plain_modulus
+    num = target.big_q
+    den = big_q
     comps = []
     for comp in ct.c:
         res = to_u64_host(src.ct_basis, comp)

@@ -34,12 +34,21 @@ def compute_rounding_poly(t_orig: int, q_prime: int, t_boot: int) -> list[int]:
     [0, t_boot), which fails for roughly half of honest encryptions (negative
     phase values).  Centered tabulation is correct whenever |v| < t_boot/2 —
     pick t_boot accordingly (see recommended_t_boot).
+
+    The table also PRE-SCALES the recovered digit into the boot plaintext
+    space: output round(m * t_boot / t_orig) instead of m.  This makes the
+    final return-to-original-scheme conversion a PURE modulus switch
+    (phase (Q_b/t_b)*m~ ~= (Q_b/t_orig)*m scales to (q/t_orig)*m under
+    c -> round(c*q/Q_b)); a combined modulus+plain-modulus switch is unsound
+    because Q_b-wraps of the phase would scale to non-multiples of q
+    (error (t_b mod t_orig)/t_orig * q per wrap).
     """
     values = []
     for x in range(t_boot):
         xc = x - t_boot if x > t_boot // 2 else x
         reduced = xc % q_prime
-        values.append(((t_orig * reduced + q_prime // 2) // q_prime) % t_orig)
+        m = ((t_orig * reduced + q_prime // 2) // q_prime) % t_orig
+        values.append(((2 * m * t_boot + t_orig) // (2 * t_orig)) % t_boot)
     return lagrange_interpolate(values, t_boot)
 
 

@@ -77,14 +77,16 @@ def test_lagrange_interpolate():
 
 
 def test_rounding_poly():
-    # centered tabulation: x > tb/2 means x - tb (correctness fix vs reference)
+    # centered tabulation (x > tb/2 means x - tb) with the digit pre-scaled
+    # into Z_tb: output round(m * tb / t) — see compute_rounding_poly
     t, qp, tb = 5, 25, 29
     poly = compute_rounding_poly(t, qp, tb)
     for x in range(tb):
         xc = x - tb if x > tb // 2 else x
-        want = ((t * (xc % qp) + qp // 2) // qp) % t
+        m = ((t * (xc % qp) + qp // 2) // qp) % t
+        want = ((2 * m * tb + t) // (2 * t)) % tb
         got = sum(c * pow(x, k, tb) for k, c in enumerate(poly)) % tb
-        assert got % t == want, x
+        assert got == want, x
 
 
 def test_required_trace_elements():
