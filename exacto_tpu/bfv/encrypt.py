@@ -10,10 +10,13 @@ later (bench path) — host is the verification oracle.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config as _config
 from ..errors import InvalidParam
 from ..params import BfvParams
 from ..ring import wordops as w
@@ -29,18 +32,45 @@ from .encoding import Plaintext
 from .keygen import PublicKey, SecretKey
 
 
-def scale_plaintext(plaintext: Plaintext, params: BfvParams) -> RnsPoly:
-    """Delta * m as an RnsPoly (reference encrypt.rs:181-229)."""
-    basis = params.ct_basis
+def _plaintext_pair(plaintext: Plaintext, params: BfvParams):
+    """Host-side u64 -> (lo, hi) uint32 split of the plaintext coefficients."""
     coeffs = np.asarray(plaintext.coeffs, dtype=np.uint64)
     if coeffs.shape[-1] != params.ring_degree:
         raise InvalidParam(
             f"plaintext degree {coeffs.shape[-1]} != n={params.ring_degree}")
     lo, hi = w.to_pair_np(coeffs)
-    pair = (jnp.asarray(lo)[..., None, :], jnp.asarray(hi)[..., None, :])
-    red = w.mod_from_u64(pair, basis.bq(1), basis.bqinv(1), basis.br1(1))
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def _scale_core(pair, params: BfvParams) -> RnsPoly:
+    basis = params.ct_basis
+    p = (pair[0][..., None, :], pair[1][..., None, :])
+    red = w.mod_from_u64(p, basis.bq(1), basis.bqinv(1), basis.br1(1))
     m_poly = from_coeff_residues(basis, red)
     return rp_scalar_mul(basis, m_poly, params.delta_mont)
+
+
+_scale_jit = jax.jit(_scale_core)
+
+
+def scale_plaintext(plaintext: Plaintext, params: BfvParams) -> RnsPoly:
+    """Delta * m as an RnsPoly (reference encrypt.rs:181-229)."""
+    fn = _scale_jit if _config.jit_enabled() else _scale_core
+    return fn(_plaintext_pair(plaintext, params), params)
+
+
+@partial(jax.jit, static_argnames=("batch_shape",))
+def _encrypt_pk_core(key, pt_pair, pk: PublicKey, batch_shape) -> BfvCiphertext:
+    params = pk.params
+    basis = params.ct_basis
+    delta_m = _scale_core(pt_pair, params)
+    k_u, k_e1, k_e2 = jax.random.split(key, 3)
+    u = sample_binary_rns(k_u, basis, batch_shape)
+    e1 = sample_gaussian_rns(k_e1, basis, params.sigma, batch_shape)
+    e2 = sample_gaussian_rns(k_e2, basis, params.sigma, batch_shape)
+    c0 = rp_add(basis, rp_add(basis, rp_mul(basis, pk.pk0, u), e1), delta_m)
+    c1 = rp_add(basis, rp_mul(basis, pk.pk1, u), e2)
+    return BfvCiphertext(c=(c0, c1), params=params)
 
 
 def encrypt_pk(key, plaintext: Plaintext, pk: PublicKey,
@@ -51,18 +81,24 @@ def encrypt_pk(key, plaintext: Plaintext, pk: PublicKey,
     batch_shape defaults to the plaintext's leading dims: one independent
     ciphertext (fresh randomness) per plaintext row.
     """
-    params = pk.params
-    basis = params.ct_basis
+    pair = _plaintext_pair(plaintext, pk.params)
     if batch_shape is None:
-        batch_shape = np.asarray(plaintext.coeffs).shape[:-1]
-    delta_m = scale_plaintext(plaintext, params)
-    k_u, k_e1, k_e2 = jax.random.split(key, 3)
-    u = sample_binary_rns(k_u, basis, batch_shape)
-    e1 = sample_gaussian_rns(k_e1, basis, params.sigma, batch_shape)
-    e2 = sample_gaussian_rns(k_e2, basis, params.sigma, batch_shape)
-    c0 = rp_add(basis, rp_add(basis, rp_mul(basis, pk.pk0, u), e1), delta_m)
-    c1 = rp_add(basis, rp_mul(basis, pk.pk1, u), e2)
-    return BfvCiphertext(c=(c0, c1), params=params)
+        batch_shape = pair[0].shape[:-1]
+    core = _encrypt_pk_core if _config.jit_enabled() else _encrypt_pk_core.__wrapped__
+    return core(key, pair, pk, tuple(batch_shape))
+
+
+@partial(jax.jit, static_argnames=("batch_shape",))
+def _encrypt_sk_core(key, pt_pair, sk: SecretKey, batch_shape) -> BfvCiphertext:
+    params = sk.params
+    basis = params.ct_basis
+    delta_m = _scale_core(pt_pair, params)
+    k_a, k_e = jax.random.split(key)
+    a = sample_uniform_rns(k_a, basis, batch_shape)
+    e = sample_gaussian_rns(k_e, basis, params.sigma, batch_shape)
+    c0 = rp_add(basis, rp_add(basis, rp_neg(basis, rp_mul(basis, a, sk.poly)), e),
+                delta_m)
+    return BfvCiphertext(c=(c0, a), params=params)
 
 
 def encrypt_sk(key, plaintext: Plaintext, sk: SecretKey,
@@ -72,17 +108,11 @@ def encrypt_sk(key, plaintext: Plaintext, sk: SecretKey,
     batch_shape defaults to the plaintext's leading dims: one independent
     ciphertext (fresh randomness) per plaintext row.
     """
-    params = sk.params
-    basis = params.ct_basis
+    pair = _plaintext_pair(plaintext, sk.params)
     if batch_shape is None:
-        batch_shape = np.asarray(plaintext.coeffs).shape[:-1]
-    delta_m = scale_plaintext(plaintext, params)
-    k_a, k_e = jax.random.split(key)
-    a = sample_uniform_rns(k_a, basis, batch_shape)
-    e = sample_gaussian_rns(k_e, basis, params.sigma, batch_shape)
-    c0 = rp_add(basis, rp_add(basis, rp_neg(basis, rp_mul(basis, a, sk.poly)), e),
-                delta_m)
-    return BfvCiphertext(c=(c0, a), params=params)
+        batch_shape = pair[0].shape[:-1]
+    core = _encrypt_sk_core if _config.jit_enabled() else _encrypt_sk_core.__wrapped__
+    return core(key, pair, sk, tuple(batch_shape))
 
 
 def phase(ct: BfvCiphertext, sk: SecretKey) -> RnsPoly:

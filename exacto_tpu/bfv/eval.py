@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import InvalidParam, MissingKey
+from .. import config as _config
 from ..params import BfvParams
 from ..ring import hostmath as hm
 from ..ring import wordops as w
@@ -94,6 +95,8 @@ def bfv_mul_no_relin(ct1: BfvCiphertext, ct2: BfvCiphertext) -> BfvCiphertext:
         raise InvalidParam("multiplication requires degree-1 ciphertexts")
     params = ct1.params
     if len(params.moduli) == 1 and params.aux_basis is not None:
+        if _config.jit_enabled():
+            return _hps_jit(ct1, ct2)
         return _bfv_mul_hps(ct1, ct2)
     return _bfv_mul_host_exact(ct1, ct2)
 
@@ -251,6 +254,13 @@ def _bfv_mul_hps(ct1: BfvCiphertext, ct2: BfvCiphertext) -> BfvCiphertext:
     return BfvCiphertext(c=(r0, r1, r2), params=params)
 
 
+# cached-jit entry for the fully-traceable HPS path: eager callers (tests,
+# notebooks) get compiled-once execution; inside an outer jit this inlines
+import jax as _jax  # noqa: E402
+
+_hps_jit = _jax.jit(_bfv_mul_hps)
+
+
 def _bfv_mul_host_exact(ct1: BfvCiphertext, ct2: BfvCiphertext) -> BfvCiphertext:
     """Exact host BigInt tensor multiply — correctness fallback.
 
@@ -322,13 +332,18 @@ def _bfv_mul_host_exact(ct1: BfvCiphertext, ct2: BfvCiphertext) -> BfvCiphertext
 # plaintext ops
 # ---------------------------------------------------------------------------
 
+@_jax.jit
+def _plain_pair_to_rns(pair, basis) -> RnsPoly:
+    p = (pair[0][..., None, :], pair[1][..., None, :])
+    red = w.mod_from_u64(p, basis.bq(1), basis.bqinv(1), basis.br1(1))
+    return from_coeff_residues(basis, red)
+
+
 def _plain_to_rns(params: BfvParams, plaintext: Plaintext) -> RnsPoly:
-    basis = params.ct_basis
     coeffs = np.asarray(plaintext.coeffs, dtype=np.uint64)
     lo, hi = w.to_pair_np(coeffs)
-    pair = (jnp.asarray(lo)[..., None, :], jnp.asarray(hi)[..., None, :])
-    red = w.mod_from_u64(pair, basis.bq(1), basis.bqinv(1), basis.br1(1))
-    return from_coeff_residues(basis, red)
+    fn = _plain_pair_to_rns if _config.jit_enabled() else _plain_pair_to_rns.__wrapped__
+    return fn((jnp.asarray(lo), jnp.asarray(hi)), params.ct_basis)
 
 
 def bfv_plain_mul(ct: BfvCiphertext, plaintext: Plaintext) -> BfvCiphertext:
@@ -351,6 +366,19 @@ def bfv_plain_add(ct: BfvCiphertext, plaintext: Plaintext) -> BfvCiphertext:
 # automorphisms / rotations
 # ---------------------------------------------------------------------------
 
+def _apply_automorphism_impl(ct: BfvCiphertext, gk: GaloisKey) -> BfvCiphertext:
+    params = ct.params
+    basis = params.ct_basis
+    c0a = rp_automorphism(basis, ct.c[0], gk.element)
+    c1a = rp_automorphism(basis, ct.c[1], gk.element)
+    digits = gadget_digits_rns(params, c1a)
+    d0, d1 = keyswitch_inner_product(basis, digits, gk.ks0, gk.ks1)
+    return BfvCiphertext(c=(rp_add(basis, c0a, d0), d1), params=params)
+
+
+_auto_jit = _jax.jit(_apply_automorphism_impl)
+
+
 def bfv_apply_automorphism(ct: BfvCiphertext, gk: GaloisKey) -> BfvCiphertext:
     """sigma_k then key-switch back to s (reference eval.rs:512-561).
 
@@ -359,13 +387,9 @@ def bfv_apply_automorphism(ct: BfvCiphertext, gk: GaloisKey) -> BfvCiphertext:
     """
     if len(ct.c) != 2:
         raise InvalidParam("automorphism requires degree-1 ciphertext")
-    params = ct.params
-    basis = params.ct_basis
-    c0a = rp_automorphism(basis, ct.c[0], gk.element)
-    c1a = rp_automorphism(basis, ct.c[1], gk.element)
-    digits = gadget_digits_rns(params, c1a)
-    d0, d1 = keyswitch_inner_product(basis, digits, gk.ks0, gk.ks1)
-    return BfvCiphertext(c=(rp_add(basis, c0a, d0), d1), params=params)
+    if len(ct.params.moduli) == 1 and _config.jit_enabled():
+        return _auto_jit(ct, gk)
+    return _apply_automorphism_impl(ct, gk)
 
 
 def bfv_trace(ct: BfvCiphertext, galois_elements, galois_keys: dict) -> BfvCiphertext:

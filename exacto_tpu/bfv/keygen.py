@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config as _config
 from ..params import BfvParams
 from ..ring import ntt as nttmod
 from ..ring import wordops as w
@@ -110,7 +111,18 @@ def _gadget_pow_pair(basis: RnsBasis, base: int, num_digits: int):
     return jnp.asarray(lo)[..., None], jnp.asarray(hi)[..., None]
 
 
-def _gen_keyswitch_key(key, sk: SecretKey, target: RnsPoly):
+@jax.jit
+def _gen_keyswitch_key_jit(key, sk: SecretKey, target: RnsPoly):
+    return _gen_keyswitch_key_impl(key, sk, target)
+
+
+def _gen_keyswitch_key(key, sk, target):
+    if _config.jit_enabled():
+        return _gen_keyswitch_key_jit(key, sk, target)
+    return _gen_keyswitch_key_impl(key, sk, target)
+
+
+def _gen_keyswitch_key_impl(key, sk: SecretKey, target: RnsPoly):
     """Gadget ladder encrypting `target` under s: ks0[i] = -(a_i s + e_i) + g_i * target."""
     params = sk.params
     basis = params.ct_basis

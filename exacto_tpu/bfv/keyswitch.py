@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..errors import NotImplementedYet
 from ..params import BfvParams
 from ..ring import wordops as w
@@ -139,12 +140,7 @@ def gadget_digits_rns(params: BfvParams, poly: RnsPoly) -> RnsPoly:
     return from_host_residues(basis, out)
 
 
-def relinearize(ct: BfvCiphertext, rlk) -> BfvCiphertext:
-    """Degree-2 -> degree-1 using the relin key (reference keyswitch.rs:59-101)."""
-    if len(ct.c) < 3:
-        return ct
-    if len(ct.c) > 3:
-        raise NotImplementedYet("relinearization only supports degree-2 ciphertexts")
+def _relinearize_impl(ct: BfvCiphertext, rlk) -> BfvCiphertext:
     params = ct.params
     basis = params.ct_basis
     digits = gadget_digits_rns(params, ct.c[2])
@@ -152,6 +148,22 @@ def relinearize(ct: BfvCiphertext, rlk) -> BfvCiphertext:
     return BfvCiphertext(
         c=(rp_add(basis, ct.c[0], d0), rp_add(basis, ct.c[1], d1)),
         params=params)
+
+
+import jax as _jax  # noqa: E402
+
+_relin_jit = _jax.jit(_relinearize_impl)
+
+
+def relinearize(ct: BfvCiphertext, rlk) -> BfvCiphertext:
+    """Degree-2 -> degree-1 using the relin key (reference keyswitch.rs:59-101)."""
+    if len(ct.c) < 3:
+        return ct
+    if len(ct.c) > 3:
+        raise NotImplementedYet("relinearization only supports degree-2 ciphertexts")
+    if len(ct.params.moduli) == 1 and _config.jit_enabled():
+        return _relin_jit(ct, rlk)  # device path: compiled once, cached
+    return _relinearize_impl(ct, rlk)  # multi-prime / CPU: eager
 
 
 def gadget_decompose(params: BfvParams, coeffs_host):

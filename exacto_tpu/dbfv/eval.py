@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import config as _config
 from ..bfv import BfvCiphertext
 from ..bfv.eval import bfv_add, bfv_mul_and_relin, bfv_neg, bfv_sub
 from ..bfv.keygen import RelinKey
@@ -86,6 +87,17 @@ def dbfv_mul(ct1: DbfvCiphertext, ct2: DbfvCiphertext,
         raise NotImplementedYet(
             "chained dBFV multiplication requires ciphertext-level lattice "
             "reduction (paper 4.6.2); use dbfv_mul_then_bootstrap")
+    bp = params.bfv_params
+    if len(bp.moduli) == 1 and bp.aux_basis is not None and _config.jit_enabled():
+        return _dbfv_mul_jit(ct1, ct2, rlk)  # fully traceable: cached jit
+    return _dbfv_mul_impl(ct1, ct2, rlk)
+
+
+def _dbfv_mul_impl(ct1: DbfvCiphertext, ct2: DbfvCiphertext,
+                   rlk: RelinKey) -> DbfvCiphertext:
+    params = ct1.params
+    d = params.num_digits
+    next_depth = max(ct1.mul_depth, ct2.mul_depth) + 1
 
     # one batched BFV multiply over the [d, d] limb grid
     A, B = _broadcast_limb_grid(ct1, ct2)
@@ -114,3 +126,8 @@ def dbfv_mul(ct1: DbfvCiphertext, ct2: DbfvCiphertext,
         degree=2 * d - 1, mul_depth=next_depth, params=params)
 
     return reduction.reduce(widened, rlk)
+
+
+import jax as _jax  # noqa: E402
+
+_dbfv_mul_jit = _jax.jit(_dbfv_mul_impl)
