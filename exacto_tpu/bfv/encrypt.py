@@ -143,14 +143,24 @@ def phase_residues_host(ct: BfvCiphertext, sk: SecretKey) -> np.ndarray:
 
 def decrypt(ct: BfvCiphertext, sk: SecretKey) -> Plaintext:
     """m = round(p * phase / Q) mod p, exact host CRT scaling
-    (reference encrypt.rs:111-178)."""
+    (reference encrypt.rs:111-178).
+
+    The CRT + rounding runs in the native C++ kernel when available
+    (exacto_tpu.native); the Python-int path is the fallback oracle.
+    """
     params = ct.params
     residues = phase_residues_host(ct, sk)
-    xs = crt_to_ints_host(params.ct_basis, residues)
     p = params.plain_modulus
+
+    from ..native import available as native_available, crt_round_scale
+
+    if native_available() and params.big_q * p < 1 << 320 and len(params.moduli) <= 5:
+        out = crt_round_scale(residues, params.moduli, p)
+        return Plaintext(coeffs=out, modulus=p)
+
+    xs = crt_to_ints_host(params.ct_basis, residues)
     big_q = params.big_q
     half_q = big_q >> 1
-
     flat = xs.reshape(-1)
     out = np.empty(flat.shape, dtype=np.uint64)
     for i, x in enumerate(flat):
