@@ -27,7 +27,7 @@ def main():
     import jax
 
     quick = "--quick" in sys.argv
-    batch = int(os.environ.get("BENCH_BATCH", "16" if quick else "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "16" if quick else "128"))
     iters = 2 if quick else 5
 
     from exacto_tpu.params.presets import u64_dbfv
