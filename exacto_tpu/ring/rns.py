@@ -337,6 +337,47 @@ def rp_monomial_mul(basis: RnsBasis, poly: RnsPoly, j) -> RnsPoly:
     return RnsPoly(lo=lo, hi=hi)
 
 
+def fast_base_extend(src_basis: RnsBasis, dst_basis: RnsBasis,
+                     poly: RnsPoly) -> RnsPoly:
+    """Approximate Bajard-style base extension src -> dst (reference
+    rns.rs:226-282, implemented-but-unused there; same contract here).
+
+    For x given mod A = prod a_i, computes x + u*A mod each dst prime with
+    u in [0, k) (the classic approximate extension without the alpha
+    correction).  The live HPS multiply uses the exact centered extension in
+    bfv.eval instead; this is exported for API parity and for RNS-tool reuse.
+    """
+    from . import wordops as ww
+
+    k = src_basis.num_moduli
+    big_a = src_basis.modulus_product
+    res = to_coeff_residues(src_basis, poly)  # [..., k, n] standard form
+
+    # y_i = x_i * (A/a_i)^{-1} mod a_i
+    inv_factors = src_basis.mont_scalar_pair(
+        [hm.mod_inv((big_a // a) % a, a) for a in src_basis.moduli])
+    y = ww.mont_mul(res, (inv_factors[0][:, None], inv_factors[1][:, None]),
+                    src_basis.bq(1), src_basis.bqinv(1))
+
+    # ext_j = sum_i y_i * (A/a_i mod b_j)  (mod b_j)
+    outs_lo, outs_hi = [], []
+    for j, b in enumerate(dst_basis.moduli):
+        accum = None
+        for i, a in enumerate(src_basis.moduli):
+            coef = (big_a // a) % b
+            cst = ww.const_pair(coef * (1 << 64) % b)
+            yi = (y[0][..., i, :], y[1][..., i, :])
+            term = ww.mont_mul(yi, cst, ww.const_pair(b),
+                               ww.const_pair(hm.montgomery_inv_neg(b)))
+            accum = term if accum is None else ww.mod_add64(
+                accum, term, ww.const_pair(b))
+        outs_lo.append(accum[0])
+        outs_hi.append(accum[1])
+    lo = jnp.stack(outs_lo, axis=-2)
+    hi = jnp.stack(outs_hi, axis=-2)
+    return from_coeff_residues(dst_basis, (lo, hi))
+
+
 def rp_sum_leading_axis(basis: RnsBasis, poly: RnsPoly) -> RnsPoly:
     """Modular tree-sum over the leading batch axis: [B, ..., L, n] -> [..., L, n]."""
     q = basis.bq(1)

@@ -63,3 +63,29 @@ def test_serialization_roundtrip(tmp_path):
     # the restored key decrypts ciphertexts made with the original
     ct = encrypt_sk(jax.random.PRNGKey(6), encode_scalar(99, params), sk)
     assert decode_scalar(decrypt(ct, sk2)) == 99
+
+
+def test_fast_base_extend_value_mod_dst():
+    import jax.numpy as jnp
+    from exacto_tpu.ring.rns import (
+        RnsBasis, fast_base_extend, from_host_residues, to_u64_host,
+        crt_to_ints_host,
+    )
+
+    n = 16
+    src = RnsBasis.create([65537, 1099509805057], n)
+    dst = RnsBasis.create([562949953443841], n)
+    rng = np.random.default_rng(3)
+    res = np.zeros((2, n), dtype=np.uint64)
+    res[0] = rng.integers(0, 65537, n, dtype=np.uint64)
+    res[1] = rng.integers(0, 1099509805057, n, dtype=np.uint64)
+    poly = from_host_residues(src, res)
+    ext = fast_base_extend(src, dst, poly)
+    got = to_u64_host(dst, ext)[0]
+    big_a = src.modulus_product
+    xs = crt_to_ints_host(src, res)
+    for j in range(n):
+        x = int(xs[j])
+        # approximate extension: x + u*A for u in [0, k)
+        candidates = {(x + u * big_a) % 562949953443841 for u in range(2)}
+        assert int(got[j]) in candidates, j
