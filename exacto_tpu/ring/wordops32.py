@@ -1,0 +1,178 @@
+"""Single-lane Montgomery arithmetic for narrow primes (q < 2^31, R = 2^32).
+
+The wide path (wordops.py) emulates 64-bit residues in uint32 pairs —
+necessary for the reference's 40-60-bit prime presets, but ~4x more
+multiplies than needed when the RNS basis is chosen TPU-first: several
+primes just under 2^31 whose product covers the same modulus budget.  This
+module is that fast path: one uint32 lane per residue, Montgomery with
+R = 2^32 (a 32x32 full product is 4 sixteen-bit partials; REDC adds ~7
+more), halving memory traffic and quartering multiply work.
+
+Foundation for the narrow-basis BFV pipeline (performance presets); the
+wide path remains the reference-parity path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import hostmath as hm
+
+U32 = jnp.uint32
+_MASK16 = 0xFFFF
+
+
+def _u32(v):
+    """Coerce python-int constants (possibly >= 2^31) to uint32 scalars."""
+    return v if hasattr(v, "dtype") else jnp.uint32(v & 0xFFFFFFFF)
+
+
+def check_narrow(moduli) -> bool:
+    return all(1 < m < (1 << 31) and m % 2 == 1 for m in moduli)
+
+
+def mont_consts32(q: int) -> dict:
+    """Host precompute: -q^{-1} mod 2^32, R mod q, R^2 mod q (R = 2^32)."""
+    if q % 2 == 0 or q >= 1 << 31:
+        raise ValueError("narrow Montgomery needs odd q < 2^31")
+    inv = q
+    for _ in range(5):
+        inv = (inv * (2 - q * inv)) & 0xFFFFFFFF
+    return {
+        "qinv_neg": (-inv) & 0xFFFFFFFF,
+        "r1": (1 << 32) % q,
+        "r2": (1 << 64) % q,
+    }
+
+
+def mul32_full(a, b):
+    """32x32 -> 64 as (lo, hi) uint32 (same as wordops.mul32)."""
+    a0 = a & _MASK16
+    a1 = a >> 16
+    b0 = b & _MASK16
+    b1 = b >> 16
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid1 = p10 + (p00 >> 16)
+    mid2 = p01 + (mid1 & _MASK16)
+    lo = (p00 & _MASK16) | (mid2 << 16)
+    hi = p11 + (mid1 >> 16) + (mid2 >> 16)
+    return lo, hi
+
+
+def mont_mul32(a, b, q, qinv_neg):
+    """a * b * 2^{-32} mod q for a, b < q < 2^31."""
+    q, qinv_neg = _u32(q), _u32(qinv_neg)
+    t_lo, t_hi = mul32_full(a, b)
+    m = t_lo * qinv_neg  # mod 2^32
+    mq_lo, mq_hi = mul32_full(m, q)
+    # u = (t + m*q) >> 32; low 32 bits cancel, carry = (t_lo + mq_lo) >> 32
+    s = t_lo + mq_lo
+    carry = (s < t_lo).astype(U32)
+    u = t_hi + mq_hi + carry  # < 2q < 2^32
+    return jnp.where(u >= q, u - q, u)
+
+
+def mod_add32(a, b, q):
+    q = _u32(q)
+    s = a + b  # < 2q < 2^32
+    return jnp.where(s >= q, s - q, s)
+
+
+def mod_sub32(a, b, q):
+    q = _u32(q)
+    return jnp.where(a >= b, a - b, q - b + a)
+
+
+def mod_neg32(a, q):
+    q = _u32(q)
+    return jnp.where(a == 0, a, q - a)
+
+
+def to_mont32(a, q, qinv_neg, r2):
+    return mont_mul32(a, _u32(r2), q, qinv_neg)
+
+
+def from_mont32(a, q, qinv_neg):
+    """REDC of a single word: a * 2^{-32} mod q."""
+    q, qinv_neg = _u32(q), _u32(qinv_neg)
+    m = a * qinv_neg
+    mq_lo, mq_hi = mul32_full(m, q)
+    s = a + mq_lo
+    carry = (s < a).astype(U32)
+    u = mq_hi + carry
+    return jnp.where(u >= q, u - q, u)
+
+
+def reduce_u64_pair32(lo, hi, q, qinv_neg, r1, r2):
+    """Arbitrary u64 (lo, hi uint32) mod q: hi*2^32 + lo via Montgomery.
+
+    hi*2^32 mod q = mont_mul32(hi, r2); lo mod q = mont_mul32(lo, r1).
+    """
+    return mod_add32(mont_mul32(hi, _u32(r2), q, qinv_neg),
+                     mont_mul32(lo, _u32(r1), q, qinv_neg), q)
+
+
+# ---------------------------------------------------------------------------
+# narrow negacyclic NTT (same LN structure as ring.ntt, single lane)
+# ---------------------------------------------------------------------------
+
+def build_psi_tables32(q: int, n: int) -> dict:
+    """Montgomery-form twiddles as uint32 (R = 2^32)."""
+    logn = n.bit_length() - 1
+    psi = hm.psi_2n(q, n)
+    ipsi = hm.mod_inv(psi, q)
+    R = 1 << 32
+    psi_rev = np.zeros(n, dtype=np.uint32)
+    ipsi_rev = np.zeros(n, dtype=np.uint32)
+    for i in range(n):
+        e = hm.bit_reverse(i, logn)
+        psi_rev[i] = pow(psi, e, q) * R % q
+        ipsi_rev[i] = pow(ipsi, e, q) * R % q
+    ninv = hm.mod_inv(n, q) * R % q
+    return {"psi_rev": psi_rev, "ipsi_rev": ipsi_rev, "ninv": np.uint32(ninv)}
+
+
+def ntt_fwd32(x, psi_rev, q, qinv):
+    """Forward NTT on uint32 [..., L, n]; psi_rev [L, n]; q/qinv [L]."""
+    n = x.shape[-1]
+    L = x.shape[-2]
+    batch = x.shape[:-2]
+    q2 = q.reshape(L, 1, 1)
+    qi2 = qinv.reshape(L, 1, 1)
+    m, t = 1, n
+    while m < n:
+        t //= 2
+        s = psi_rev[:, m:2 * m, None]
+        xr = x.reshape(*batch, L, m, 2, t)
+        u = xr[..., 0, :]
+        v = mont_mul32(xr[..., 1, :], s, q2, qi2)
+        x = jnp.stack([mod_add32(u, v, q2), mod_sub32(u, v, q2)],
+                      axis=-2).reshape(*batch, L, n)
+        m *= 2
+    return x
+
+
+def ntt_inv32(x, ipsi_rev, ninv, q, qinv):
+    """Inverse NTT on uint32 [..., L, n]."""
+    n = x.shape[-1]
+    L = x.shape[-2]
+    batch = x.shape[:-2]
+    q2 = q.reshape(L, 1, 1)
+    qi2 = qinv.reshape(L, 1, 1)
+    t, m = 1, n
+    while m > 1:
+        h = m // 2
+        s = ipsi_rev[:, h:2 * h, None]
+        xr = x.reshape(*batch, L, h, 2, t)
+        u = xr[..., 0, :]
+        v = xr[..., 1, :]
+        top = mod_add32(u, v, q2)
+        bot = mont_mul32(mod_sub32(u, v, q2), s, q2, qi2)
+        x = jnp.stack([top, bot], axis=-2).reshape(*batch, L, n)
+        t *= 2
+        m = h
+    return mont_mul32(x, ninv.reshape(L, 1), q.reshape(L, 1), qinv.reshape(L, 1))
