@@ -30,6 +30,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16" if quick else "128"))
     iters = 2 if quick else 5
 
+    if os.environ.get("BENCH_NARROW", "1") not in ("0", "false"):
+        return main_narrow(quick, batch, iters)
+
     from exacto_tpu.params.presets import u64_dbfv
     from exacto_tpu.bfv import gen_relin_key, gen_secret_key
     from exacto_tpu.dbfv import dbfv_encrypt_sk, dbfv_decrypt, dbfv_mul
@@ -88,6 +91,61 @@ def main():
     print(json.dumps({
         "metric": "batched u64 dBFV muls/sec/chip (p=2^64, d=8, b=256, n=%d)"
                   % params.bfv_params.ring_degree,
+        "value": round(ops, 2),
+        "unit": "ops/s",
+        "vs_baseline": round(ops / BASELINE_OPS_PER_S, 2),
+        "batch": batch,
+        "step_ms": round(best * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+        "parity_check": ok,
+    }))
+
+
+def main_narrow(quick, batch, iters):
+    """Narrow-basis engine benchmark (single-u32 RNS; the TPU-first design)."""
+    import jax
+
+    from exacto_tpu import narrow as nr
+
+    n = 256 if quick else 4096
+    params = nr.u64_dbfv_fast(n)
+    sk = jax.jit(lambda k: nr.gen_secret_key(k, params.bfv))(jax.random.PRNGKey(1))
+    rlk = jax.jit(lambda k: nr.gen_relin_key(k, sk))(jax.random.PRNGKey(2))
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 63, size=batch, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=batch, dtype=np.uint64) * 2 + 1
+    ct1 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(3), a, sk, params)
+    ct2 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(4), b, sk, params)
+
+    mul = jax.jit(lambda x, y, r: nr.dbfv_mul(x, y, r))
+    t0 = time.time()
+    out = mul(ct1, ct2, rlk)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = mul(ct1, ct2, rlk)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    ops = batch / best
+
+    def take0(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x[0] if hasattr(x, "ndim") and x.ndim >= 4 else x, tree)
+
+    ok = True
+    try:
+        got = nr.dbfv_decrypt(take0(out), sk)
+        ok = int(got) == int((int(a[0]) * int(b[0])) % (1 << 64))
+    except Exception:
+        ok = False
+
+    print(json.dumps({
+        "metric": "batched u64 dBFV muls/sec/chip (p=2^64, d=8, b=256, n=%d, "
+                  "narrow RNS)" % n,
         "value": round(ops, 2),
         "unit": "ops/s",
         "vs_baseline": round(ops / BASELINE_OPS_PER_S, 2),

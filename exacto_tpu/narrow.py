@@ -1,0 +1,702 @@
+"""Narrow-basis engine: BFV/dBFV over single-u32 RNS primes (performance path).
+
+TPU-first parameter design: instead of the reference's single 60-bit prime
+(which forces every residue into emulated-u64 pair arithmetic), the
+ciphertext modulus is a product of narrow NTT primes just under 2^31 and the
+auxiliary basis a product of narrow primes — every hot op (NTT butterflies,
+pointwise products, key-switch inner products) runs in single-lane u32
+Montgomery arithmetic: ~4x fewer multiplies and half the memory traffic of
+the wide path.  Pair (u64) arithmetic survives only in the per-coefficient
+scale/compose glue, which after the deferred-sum restructure runs once per
+output limb.
+
+Exactness: with exactly TWO Q-primes, the CRT composition of a coefficient
+fits a u64 pair (sum of two < 2^62 terms), so base extension Q->P, the HPS
+rounding term, and gadget decomposition are all EXACT — no approximate
+alpha-correction floats anywhere.
+
+Scope: secret-key BFV (keygen/encrypt/decrypt/add) and the dBFV
+digit-convolution multiply with deferred-sum HPS scaling + relinearization —
+the headline workload.  The wide engine (exacto_tpu.bfv/dbfv) remains the
+full-featured reference-parity surface.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as _config
+from .errors import InvalidParam
+from .ring import hostmath as hm
+from .ring import wordops as w
+from .ring import wordops32 as w32
+from .ring.ntt import build_psi_tables  # noqa: F401  (wide tables unused here)
+from .sampling import sample_gaussian_signed, sample_ternary_signed
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class NarrowBasis:
+    moduli: tuple = flax.struct.field(pytree_node=False)
+    ring_degree: int = flax.struct.field(pytree_node=False)
+    q: jnp.ndarray = None        # [L] u32
+    qinv: jnp.ndarray = None     # [L] u32  (-q^{-1} mod 2^32)
+    r1: jnp.ndarray = None       # [L] u32  (2^32 mod q)
+    r2: jnp.ndarray = None       # [L] u32  (2^64 mod q)
+    ninv: jnp.ndarray = None     # [L] u32  (n^{-1} in Montgomery form)
+    psi_rev: jnp.ndarray = None  # [L, n] u32
+    ipsi_rev: jnp.ndarray = None # [L, n] u32
+
+    @classmethod
+    def create(cls, moduli, n: int) -> "NarrowBasis":
+        moduli = tuple(int(m) for m in moduli)
+        if not w32.check_narrow(moduli):
+            raise InvalidParam("narrow basis needs odd primes < 2^31")
+        for m in moduli:
+            if not hm.is_prime(m) or (m - 1) % (2 * n) != 0:
+                raise InvalidParam(f"modulus {m} unusable for n={n}")
+        consts = [w32.mont_consts32(m) for m in moduli]
+        tabs = [w32.build_psi_tables32(m, n) for m in moduli]
+        u32a = lambda vals: jnp.asarray(np.array(vals, dtype=np.uint32))
+        return cls(
+            moduli=moduli, ring_degree=n,
+            q=u32a(moduli),
+            qinv=u32a([c["qinv_neg"] for c in consts]),
+            r1=u32a([c["r1"] for c in consts]),
+            r2=u32a([c["r2"] for c in consts]),
+            ninv=u32a([t["ninv"] for t in tabs]),
+            psi_rev=jnp.asarray(np.stack([t["psi_rev"] for t in tabs])),
+            ipsi_rev=jnp.asarray(np.stack([t["ipsi_rev"] for t in tabs])),
+        )
+
+    @property
+    def num_moduli(self):
+        return len(self.moduli)
+
+    @property
+    def modulus_product(self) -> int:
+        big = 1
+        for m in self.moduli:
+            big *= m
+        return big
+
+    def b1(self):
+        return self.q.reshape(-1, 1), self.qinv.reshape(-1, 1)
+
+
+@flax.struct.dataclass
+class NarrowParams:
+    """BFV params over a narrow basis (2 Q-primes; 1..5 aux primes)."""
+
+    ring_degree: int = flax.struct.field(pytree_node=False)
+    plain_modulus: int = flax.struct.field(pytree_node=False)
+    moduli: tuple = flax.struct.field(pytree_node=False)
+    aux_moduli: tuple = flax.struct.field(pytree_node=False)
+    sigma: float = flax.struct.field(pytree_node=False)
+    gadget_base: int = flax.struct.field(pytree_node=False)
+    gadget_digits: int = flax.struct.field(pytree_node=False)
+    ct_basis: NarrowBasis = None
+    aux_basis: NarrowBasis = None
+    delta_mont: jnp.ndarray = None  # [L] u32, Delta mod q_i in Montgomery form
+
+    @classmethod
+    def create(cls, n, plain_modulus, ct_moduli, aux_moduli, sigma=3.2,
+               gadget_base=1 << 16):
+        ct_moduli = tuple(int(m) for m in ct_moduli)
+        aux_moduli = tuple(int(m) for m in aux_moduli)
+        if len(ct_moduli) != 2:
+            raise InvalidParam("narrow engine requires exactly 2 ciphertext primes "
+                               "(keeps CRT composition in one u64)")
+        ct_basis = NarrowBasis.create(ct_moduli, n)
+        aux_basis = NarrowBasis.create(aux_moduli, n)
+        big_q = ct_basis.modulus_product
+        digits = 0
+        powv = 1
+        while powv < big_q:
+            powv *= gadget_base
+            digits += 1
+        delta = big_q // plain_modulus
+        dm = np.array([delta % m * (1 << 32) % m for m in ct_moduli],
+                      dtype=np.uint64).astype(np.uint32)
+        return cls(ring_degree=n, plain_modulus=int(plain_modulus),
+                   moduli=ct_moduli, aux_moduli=aux_moduli, sigma=float(sigma),
+                   gadget_base=int(gadget_base), gadget_digits=max(digits, 1),
+                   ct_basis=ct_basis, aux_basis=aux_basis,
+                   delta_mont=jnp.asarray(dm))
+
+    @property
+    def big_q(self) -> int:
+        return self.ct_basis.modulus_product
+
+    @property
+    def delta(self) -> int:
+        return self.big_q // self.plain_modulus
+
+
+@flax.struct.dataclass
+class NarrowDbfvParams:
+    base: int = flax.struct.field(pytree_node=False)
+    num_digits: int = flax.struct.field(pytree_node=False)
+    plain_modulus: int = flax.struct.field(pytree_node=False)  # 0 => 2^64
+    bfv: NarrowParams = None
+
+    @property
+    def effective_plain_modulus(self) -> int:
+        return (1 << 64) if self.plain_modulus == 0 else self.plain_modulus
+
+
+@lru_cache(maxsize=None)
+def find_narrow_primes(n: int, count: int, max_bits: int = 31,
+                       skip: tuple = ()) -> tuple:
+    """`count` NTT-friendly primes just below 2^max_bits for ring degree n."""
+    out = []
+    k = ((1 << max_bits) - 1) // (2 * n) * (2 * n) + 1
+    while len(out) < count and k > 1 << (max_bits - 3):
+        if hm.is_prime(k) and k not in skip:
+            out.append(k)
+        k -= 2 * n
+    if len(out) < count:
+        raise InvalidParam("not enough narrow NTT primes")
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def u64_dbfv_fast(n: int = 4096) -> NarrowDbfvParams:
+    """Performance preset matching u64_dbfv's capability (p=2^64, b=256, d=8)
+    with a TPU-first narrow basis: Q = two ~31-bit primes (~2^61 > the
+    reference's 2^60), P = four ~29-bit primes (~2^114 > d*n*Q/2)."""
+    qs = find_narrow_primes(n, 2, 31)
+    ps = find_narrow_primes(n, 4, 29, skip=qs)
+    bfv = NarrowParams.create(n, 1040407, qs, ps, gadget_base=256)
+    return NarrowDbfvParams(base=256, num_digits=8, plain_modulus=0, bfv=bfv)
+
+
+# ---------------------------------------------------------------------------
+# polynomial ops (single u32 [..., L, n], Montgomery NTT domain)
+# ---------------------------------------------------------------------------
+
+def np_add(basis, a, b):
+    return w32.mod_add32(a, b, basis.q.reshape(-1, 1))
+
+
+def np_sub(basis, a, b):
+    return w32.mod_sub32(a, b, basis.q.reshape(-1, 1))
+
+
+def np_neg(basis, a):
+    return w32.mod_neg32(a, basis.q.reshape(-1, 1))
+
+
+def np_mul(basis, a, b):
+    q, qi = basis.b1()
+    return w32.mont_mul32(a, b, q, qi)
+
+
+def from_coeff_residues32(basis, x):
+    """Standard-form u32 residues [..., L, n] -> NTT-Montgomery domain."""
+    q, qi = basis.b1()
+    xm = w32.to_mont32(x, q, qi, basis.r2.reshape(-1, 1))
+    return w32.ntt_fwd32(xm, basis.psi_rev, basis.q, basis.qinv)
+
+
+def to_coeff_residues32(basis, x):
+    """NTT-Montgomery -> standard-form u32 residues [..., L, n]."""
+    raw = w32.ntt_inv32(x, basis.ipsi_rev, basis.ninv, basis.q, basis.qinv)
+    return w32.from_mont32(raw, basis.b1()[0], basis.b1()[1])
+
+
+def from_signed32(basis, v):
+    """Small signed int32 [..., n] -> narrow poly (broadcast to L)."""
+    v = jnp.asarray(v, dtype=jnp.int32)[..., None, :]
+    mag = jnp.abs(v).astype(jnp.uint32)
+    q = basis.q.reshape(-1, 1)
+    res = jnp.where(v < 0, q - mag, mag)
+    res = jnp.where(mag == 0, 0, res).astype(jnp.uint32)
+    return from_coeff_residues32(basis, res)
+
+
+def from_u64_coeffs32(basis, lo, hi):
+    """Arbitrary u64 coefficients (lo, hi u32 [..., n]) -> narrow poly."""
+    q = basis.q.reshape(-1, 1)
+    qi = basis.qinv.reshape(-1, 1)
+    red = w32.reduce_u64_pair32(lo[..., None, :], hi[..., None, :], q, qi,
+                                basis.r1.reshape(-1, 1), basis.r2.reshape(-1, 1))
+    return from_coeff_residues32(basis, red)
+
+
+def sample_uniform32(key, basis, batch_shape=()):
+    shape = tuple(batch_shape) + (basis.num_moduli, basis.ring_degree)
+    bits = jax.random.bits(key, shape=(2,) + shape, dtype=jnp.uint32)
+    q = basis.q.reshape(-1, 1)
+    qi = basis.qinv.reshape(-1, 1)
+    red = w32.reduce_u64_pair32(bits[0], bits[1], q, qi,
+                                basis.r1.reshape(-1, 1), basis.r2.reshape(-1, 1))
+    return from_coeff_residues32(basis, red)
+
+
+# ---------------------------------------------------------------------------
+# keys / encrypt / decrypt
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class NarrowSecretKey:
+    poly: jnp.ndarray = None
+    params: NarrowParams = None
+
+
+@flax.struct.dataclass
+class NarrowRelinKey:
+    rlk0: jnp.ndarray = None  # [D, L, n]
+    rlk1: jnp.ndarray = None
+    params: NarrowParams = None
+
+
+def gen_secret_key(key, params: NarrowParams) -> NarrowSecretKey:
+    s = sample_ternary_signed(key, (params.ring_degree,))
+    return NarrowSecretKey(poly=from_signed32(params.ct_basis, s), params=params)
+
+
+def gen_relin_key(key, sk: NarrowSecretKey) -> NarrowRelinKey:
+    params = sk.params
+    basis = params.ct_basis
+    D = params.gadget_digits
+    k_a, k_e = jax.random.split(key)
+    a = sample_uniform32(k_a, basis, (D,))
+    e = from_signed32(basis, sample_gaussian_signed(k_e, params.sigma,
+                                                   (D, params.ring_degree)))
+    s_sq = np_mul(basis, sk.poly, sk.poly)
+    g = np.array([[pow(params.gadget_base, i, m) * (1 << 32) % m
+                   for m in basis.moduli] for i in range(D)],
+                 dtype=np.uint64).astype(np.uint32)
+    g = jnp.asarray(g)[..., None]  # [D, L, 1]
+    q, qi = basis.b1()
+    g_ssq = w32.mont_mul32(s_sq, g, q, qi)
+    rlk0 = np_add(basis, np_neg(basis, np_add(basis, np_mul(basis, a, sk.poly), e)),
+                  g_ssq)
+    return NarrowRelinKey(rlk0=rlk0, rlk1=a, params=params)
+
+
+@flax.struct.dataclass
+class NarrowCiphertext:
+    c0: jnp.ndarray = None  # [..., L, n] u32 (may carry a limb axis at -3)
+    c1: jnp.ndarray = None
+    c2: jnp.ndarray = None  # None unless mid-multiply
+    params: NarrowParams = None
+
+
+def encrypt_sk(key, coeffs_u64: np.ndarray, sk: NarrowSecretKey,
+               delta_scale=True) -> NarrowCiphertext:
+    """coeffs_u64 host uint64 [..., n]; one ct per leading row."""
+    params = sk.params
+    basis = params.ct_basis
+    lo, hi = w.to_pair_np(np.asarray(coeffs_u64, dtype=np.uint64))
+    m_poly = from_u64_coeffs32(basis, jnp.asarray(lo), jnp.asarray(hi))
+    if delta_scale:
+        q, qi = basis.b1()
+        m_poly = w32.mont_mul32(m_poly, params.delta_mont[:, None], q, qi)
+    batch = np.asarray(coeffs_u64).shape[:-1]
+    k_a, k_e = jax.random.split(key)
+    a = sample_uniform32(k_a, basis, batch)
+    e = from_signed32(basis, sample_gaussian_signed(
+        k_e, params.sigma, tuple(batch) + (params.ring_degree,)))
+    c0 = np_add(basis, np_add(basis, np_neg(basis, np_mul(basis, a, sk.poly)), e),
+                m_poly)
+    return NarrowCiphertext(c0=c0, c1=a, params=params)
+
+
+def decrypt(ct: NarrowCiphertext, sk: NarrowSecretKey) -> np.ndarray:
+    """Host CRT decrypt -> uint64 coefficients mod p."""
+    params = ct.params
+    basis = params.ct_basis
+    phase = np_add(basis, ct.c0, np_mul(basis, ct.c1, sk.poly))
+    if ct.c2 is not None:
+        s_sq = np_mul(basis, sk.poly, sk.poly)
+        phase = np_add(basis, phase, np_mul(basis, ct.c2, s_sq))
+    res = np.asarray(to_coeff_residues32(basis, phase)).astype(np.uint64)
+    from .native import available as native_ok, crt_round_scale
+
+    if native_ok():
+        return crt_round_scale(res, basis.moduli, params.plain_modulus)
+    big_q = params.big_q
+    q0, q1 = basis.moduli
+    t0 = (big_q // q0) * hm.mod_inv((big_q // q0) % q0, q0)
+    t1 = (big_q // q1) * hm.mod_inv((big_q // q1) % q1, q1)
+    flat = res.reshape(-1, 2, res.shape[-1])
+    out = np.zeros((flat.shape[0], res.shape[-1]), dtype=np.uint64)
+    p = params.plain_modulus
+    for b in range(flat.shape[0]):
+        for j in range(res.shape[-1]):
+            x = (t0 * int(flat[b, 0, j]) + t1 * int(flat[b, 1, j])) % big_q
+            out[b, j] = ((x * p + big_q // 2) // big_q) % p
+    return out.reshape(res.shape[:-2] + (res.shape[-1],))
+
+
+# ---------------------------------------------------------------------------
+# exact pair composition and the narrow HPS machinery
+# ---------------------------------------------------------------------------
+
+def _compose_pair(params: NarrowParams, res):
+    """EXACT CRT composition of 2-prime residues into a u64 pair mod Q.
+
+    x = y0*(Q/q0) + y1*(Q/q1) - alpha*Q with y_i = x_i * (Q/q_i)^{-1} mod q_i;
+    the sum is < 2Q < 2^63 so one conditional subtract recovers x exactly.
+    res: standard-form u32 [..., 2, n].  Returns (lo, hi) u32 [..., n].
+    """
+    basis = params.ct_basis
+    q0, q1 = basis.moduli
+    big_q = basis.modulus_product
+    inv0 = hm.mod_inv((big_q // q0) % q0, q0)
+    inv1 = hm.mod_inv((big_q // q1) % q1, q1)
+    y0 = w32.mont_mul32(res[..., 0, :], jnp.uint32(inv0 * (1 << 32) % q0),
+                        jnp.uint32(q0), jnp.uint32(w32.mont_consts32(q0)["qinv_neg"]))
+    y1 = w32.mont_mul32(res[..., 1, :], jnp.uint32(inv1 * (1 << 32) % q1),
+                        jnp.uint32(q1), jnp.uint32(w32.mont_consts32(q1)["qinv_neg"]))
+    # y0*(Q/q0): u32 x const<2^31 -> u64 pair via w.mul64 on (y, 0) pairs
+    z = jnp.zeros_like(y0)
+    f0 = w.const_pair(big_q // q0)
+    f1 = w.const_pair(big_q // q1)
+    p0 = w.mul64((y0, z), f0)
+    p1 = w.mul64((y1, z), f1)
+    s = w.add128(p0, p1)
+    x = (s[0], s[1])  # < 2Q < 2^63 so high words are zero
+    qp = w.const_pair(big_q)
+    return w.select64(w.ge64(x, qp), w.sub64(x, qp), x)
+
+
+@lru_cache(maxsize=None)
+def _narrow_hps_consts(moduli: tuple, aux_moduli: tuple, p: int):
+    big_q = 1
+    for m in moduli:
+        big_q *= m
+    big_p = 1
+    for m in aux_moduli:
+        big_p *= m
+    R32 = 1 << 32
+    c = {
+        "big_q": big_q,
+        "big_p": big_p,
+        "half_p": big_p // 2,
+        "phi": (p << 126) // big_q + (1 if ((p << 126) % big_q) * 2 >= big_q else 0),
+        # per aux prime: Q^{-1} mod p_j in Montgomery form
+        "qinv_pj": tuple(hm.mod_inv(big_q % m, m) * R32 % m for m in aux_moduli),
+        # per ct prime: p mod q_i mont, P mod q_i, 2^64 mod q_i mont
+        "p_mont_qi": tuple(p % m * R32 % m for m in moduli),
+        "pmodq": tuple(big_p % m for m in moduli),
+        "r64_mont_qi": tuple((1 << 64) % m * R32 % m for m in moduli),
+        # CRT over P in the w_j*(P/p_j) form: each term < p_j*(P/p_j) = P,
+        # so a 128-bit accumulator is exact for P < 2^126
+        "inv_pj_mont": tuple(
+            hm.mod_inv((big_p // m) % m, m) * R32 % m for m in aux_moduli),
+        "p_over_pj": tuple(big_p // m for m in aux_moduli),
+    }
+    return c
+
+
+def _extend_to_aux(params: NarrowParams, poly):
+    """EXACT centered base extension Q -> aux primes for a narrow poly."""
+    res = to_coeff_residues32(params.ct_basis, poly)
+    x = _compose_pair(params, res)  # u64 pair in [0, Q)
+    cst = _narrow_hps_consts(params.moduli, params.aux_moduli,
+                             params.plain_modulus)
+    qp = w.const_pair(cst["big_q"])
+    half = w.const_pair(cst["big_q"] // 2)
+    neg = w.gt64(x, half)
+    mag = w.select64(neg, w.sub64(qp, x), x)
+    auxb = params.aux_basis
+    q = auxb.q.reshape(-1, 1)
+    qi = auxb.qinv.reshape(-1, 1)
+    red = w32.reduce_u64_pair32(mag[0][..., None, :], mag[1][..., None, :],
+                                q, qi, auxb.r1.reshape(-1, 1),
+                                auxb.r2.reshape(-1, 1))
+    out = jnp.where(neg[..., None, :], w32.mod_neg32(red, q), red)
+    return from_coeff_residues32(auxb, out)
+
+
+def _narrow_hps_scale(params: NarrowParams, t_q, t_p):
+    """round(p * t / Q) mod q_i from (t mod Q, t mod P); all-exact glue."""
+    cst = _narrow_hps_consts(params.moduli, params.aux_moduli,
+                             params.plain_modulus)
+    ctb, auxb = params.ct_basis, params.aux_basis
+    res_q = to_coeff_residues32(ctb, t_q)
+    res_p = to_coeff_residues32(auxb, t_p)
+
+    a = _compose_pair(params, res_q)  # u64 pair, exact t mod Q
+    qp = w.const_pair(cst["big_q"])
+    half_q = w.const_pair(cst["big_q"] // 2)
+    neg_a = w.gt64(a, half_q)
+    mag = w.select64(neg_a, w.sub64(qp, a), a)
+
+    # m_j = (t_p - a mod p_j) * Q^{-1} mod p_j  (narrow ops per aux prime)
+    q_aux = auxb.q.reshape(-1, 1)
+    qi_aux = auxb.qinv.reshape(-1, 1)
+    magred = w32.reduce_u64_pair32(mag[0][..., None, :], mag[1][..., None, :],
+                                   q_aux, qi_aux, auxb.r1.reshape(-1, 1),
+                                   auxb.r2.reshape(-1, 1))
+    a_ext = jnp.where(neg_a[..., None, :], w32.mod_neg32(magred, q_aux), magred)
+    diff = w32.mod_sub32(res_p, a_ext, q_aux)
+    qinv_pj = jnp.asarray(np.array(cst["qinv_pj"], dtype=np.uint32))[:, None]
+    m_j = w32.mont_mul32(diff, qinv_pj, q_aux, qi_aux)  # standard form
+
+    # CRT m over P: m = sum_j w_j * (P/p_j) - beta*P with
+    # w_j = m_j * (P/p_j)^{-1} mod p_j; each term < P so the 128-bit
+    # accumulator is exact for k*P < 2^128
+    zeros = jnp.zeros_like(m_j[..., 0, :])
+    m128 = (zeros, zeros, zeros, zeros)
+    for j, pj in enumerate(params.aux_moduli):
+        cc = w32.mont_consts32(pj)
+        wj = w32.mont_mul32(m_j[..., j, :], jnp.uint32(cst["inv_pj_mont"][j]),
+                            jnp.uint32(pj), jnp.uint32(cc["qinv_neg"]))
+        tw = tuple(jnp.uint32((cst["p_over_pj"][j] >> (32 * i)) & 0xFFFFFFFF)
+                   for i in range(4))
+        prod = w.mul64x128((wj, jnp.zeros_like(wj)), tw)
+        m128 = w.add128(m128, (prod[0], prod[1], prod[2], prod[3]))
+    big_p_words = tuple(jnp.uint32((cst["big_p"] >> (32 * i)) & 0xFFFFFFFF)
+                        for i in range(4))
+    for _ in range(len(params.aux_moduli)):
+        over = w.ge128(m128, big_p_words)
+        m128 = w.select128(over, w.sub128(m128, big_p_words), m128)
+    half_p_words = tuple(jnp.uint32((cst["half_p"] >> (32 * i)) & 0xFFFFFFFF)
+                         for i in range(4))
+    neg_m = jnp.logical_not(w.ge128(half_p_words, m128))
+
+    # round term r = round(p * mag / Q) via 64x128 fixed point (exact)
+    phi_words = tuple(jnp.uint32((cst["phi"] >> (32 * i)) & 0xFFFFFFFF)
+                      for i in range(4))
+    prod = w.mul64x128(mag, phi_words)
+    w3 = prod[3] + jnp.uint32(1 << 29)
+    c3 = (w3 < prod[3]).astype(jnp.uint32)
+    w4 = prod[4] + c3
+    c4 = (w4 < prod[4]).astype(jnp.uint32)
+    w5 = prod[5] + c4
+    r = ((w3 >> 30) | (w4 << 2), (w4 >> 30) | (w5 << 2))  # u64 pair < p
+
+    # assemble result mod each ct prime (narrow)
+    outs = []
+    for i, m in enumerate(params.moduli):
+        cc = w32.mont_consts32(m)
+        qs = jnp.uint32(m)
+        qis = jnp.uint32(cc["qinv_neg"])
+        r1s = jnp.uint32(cc["r1"])
+        r2s = jnp.uint32(cc["r2"])
+        # m mod q_i from 128-bit m: split into two u64 halves
+        lo64 = w32.reduce_u64_pair32(m128[0], m128[1], qs, qis, r1s, r2s)
+        hi64 = w32.reduce_u64_pair32(m128[2], m128[3], qs, qis, r1s, r2s)
+        m_mod = w32.mod_add32(
+            w32.mont_mul32(hi64, jnp.uint32(cst["r64_mont_qi"][i]), qs, qis),
+            lo64, qs)
+        m_mod = jnp.where(neg_m,
+                          w32.mod_sub32(m_mod, jnp.uint32(cst["pmodq"][i]), qs),
+                          m_mod)
+        pm = w32.mont_mul32(m_mod, jnp.uint32(cst["p_mont_qi"][i]), qs, qis)
+        r_mod = w32.reduce_u64_pair32(r[0], r[1], qs, qis, r1s, r2s)
+        r_signed = jnp.where(neg_a, w32.mod_neg32(r_mod, qs), r_mod)
+        outs.append(w32.mod_add32(r_signed, pm, qs))
+    out = jnp.stack(outs, axis=-2)
+    return from_coeff_residues32(ctb, out)
+
+
+def _gadget_digits32(params: NarrowParams, poly):
+    """Balanced power-of-two gadget digits of a narrow poly -> [.., D, L, n]."""
+    res = to_coeff_residues32(params.ct_basis, poly)
+    x = _compose_pair(params, res)
+    B = params.gadget_base
+    D = params.gadget_digits
+    logB = B.bit_length() - 1
+    half_b = B // 2
+    big_q = params.big_q
+    qp = w.const_pair(big_q)
+    neg = w.gt64(x, w.const_pair(big_q // 2))
+    mag = w.select64(neg, w.sub64(qp, x), x)
+
+    raw = [w.shr64(mag, i * logB)[0] & (B - 1) for i in range(D)]
+    signs, mags = [], []
+    carry = jnp.zeros_like(raw[0])
+    for i in range(D):
+        v = raw[i] + carry
+        ge = v >= half_b
+        mags.append(jnp.where(ge, B - v, v).astype(jnp.uint32))
+        signs.append(ge)
+        carry = ge.astype(jnp.uint32)
+
+    basis = params.ct_basis
+    q = basis.q.reshape(-1, 1)
+    outs = []
+    for i in range(D):
+        fneg = (signs[i] ^ neg)[..., None, :]
+        dmag = mags[i][..., None, :]
+        val = jnp.where(fneg & (dmag != 0), q - dmag, dmag).astype(jnp.uint32)
+        outs.append(val)
+    digits = jnp.stack(outs, axis=-3)  # [.., D, L, n]
+    return from_coeff_residues32(basis, digits)
+
+
+def relinearize32(ct: NarrowCiphertext, rlk: NarrowRelinKey) -> NarrowCiphertext:
+    if ct.c2 is None:
+        return ct
+    params = ct.params
+    basis = params.ct_basis
+    digits = _gadget_digits32(params, ct.c2)
+    q, qi = basis.b1()
+    prod0 = w32.mont_mul32(digits, rlk.rlk0, q, qi)  # [.., D, L, n]
+    prod1 = w32.mont_mul32(digits, rlk.rlk1, q, qi)
+    D = params.gadget_digits
+    acc0 = prod0[..., 0, :, :]
+    acc1 = prod1[..., 0, :, :]
+    for i in range(1, D):
+        acc0 = w32.mod_add32(acc0, prod0[..., i, :, :], q)
+        acc1 = w32.mod_add32(acc1, prod1[..., i, :, :], q)
+    return NarrowCiphertext(c0=np_add(basis, ct.c0, acc0),
+                            c1=np_add(basis, ct.c1, acc1),
+                            c2=None, params=params)
+
+
+# ---------------------------------------------------------------------------
+# narrow dBFV
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class NarrowDbfvCiphertext:
+    limbs: NarrowCiphertext = None  # limb axis at -3 of c0/c1
+    mul_depth: int = flax.struct.field(pytree_node=False, default=0)
+    params: NarrowDbfvParams = None
+
+
+def dbfv_encrypt_sk(key, values, sk: NarrowSecretKey,
+                    params: NarrowDbfvParams) -> NarrowDbfvCiphertext:
+    from .dbfv.decomposition import digit_decompose
+
+    d = params.num_digits
+    n = params.bfv.ring_degree
+    arr = np.asarray(values, dtype=np.uint64)
+    out = np.zeros(arr.shape + (d, n), dtype=np.uint64)
+    flat = arr.reshape(-1)
+    o = out.reshape(-1, d, n)
+    mod = params.effective_plain_modulus
+    for idx, v in enumerate(flat):
+        for i, dig in enumerate(digit_decompose(int(v) % mod, params.base, d)):
+            o[idx, i, 0] = dig
+    limbs = encrypt_sk(key, out, sk)
+    return NarrowDbfvCiphertext(limbs=limbs, mul_depth=0, params=params)
+
+
+def dbfv_decrypt(ct: NarrowDbfvCiphertext, sk: NarrowSecretKey):
+    from .dbfv.decomposition import poly_digit_recompose_signed
+
+    digits = decrypt(ct.limbs, sk)
+    const_terms = digits[..., :1]
+    vals = poly_digit_recompose_signed(const_terms, ct.params.base,
+                                       ct.params.plain_modulus,
+                                       ct.params.bfv.plain_modulus)[..., 0]
+    return int(vals) if vals.ndim == 0 else vals
+
+
+def dbfv_add(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext):
+    basis = ct1.params.bfv.ct_basis
+    return NarrowDbfvCiphertext(
+        limbs=NarrowCiphertext(
+            c0=np_add(basis, ct1.limbs.c0, ct2.limbs.c0),
+            c1=np_add(basis, ct1.limbs.c1, ct2.limbs.c1),
+            params=ct1.params.bfv),
+        mul_depth=max(ct1.mul_depth, ct2.mul_depth), params=ct1.params)
+
+
+def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
+                   rlk: NarrowRelinKey) -> NarrowDbfvCiphertext:
+    params = ct1.params
+    bp = params.bfv
+    d = params.num_digits
+    ctb, auxb = bp.ct_basis, bp.aux_basis
+
+    c10, c11 = ct1.limbs.c0, ct1.limbs.c1
+    c20, c21 = ct2.limbs.c0, ct2.limbs.c1
+    e10 = _extend_to_aux(bp, c10)
+    e11 = _extend_to_aux(bp, c11)
+    e20 = _extend_to_aux(bp, c20)
+    e21 = _extend_to_aux(bp, c21)
+
+    def grid(basis, a, b):
+        q, qi = basis.b1()
+        return w32.mont_mul32(a[..., :, None, :, :], b[..., None, :, :, :], q, qi)
+
+    def antidiag(basis, g):
+        q = basis.q.reshape(-1, 1)
+        outs = []
+        for k in range(2 * d - 1):
+            pairs = [(i, k - i) for i in range(max(0, k - d + 1), min(d, k + 1))]
+            acc = g[..., pairs[0][0], pairs[0][1], :, :]
+            for (i, j) in pairs[1:]:
+                acc = w32.mod_add32(acc, g[..., i, j, :, :], q)
+            outs.append(acc)
+        return jnp.stack(outs, axis=-3)
+
+    def tensor3(basis, a0, a1, b0, b1):
+        q = basis.q.reshape(-1, 1)
+        t0 = antidiag(basis, grid(basis, a0, b0))
+        t1 = antidiag(basis, w32.mod_add32(grid(basis, a0, b1),
+                                           grid(basis, a1, b0), q))
+        t2 = antidiag(basis, grid(basis, a1, b1))
+        return t0, t1, t2
+
+    tq = tensor3(ctb, c10, c11, c20, c21)
+    tp = tensor3(auxb, e10, e11, e20, e21)
+
+    r0 = _narrow_hps_scale(bp, tq[0], tp[0])
+    r1 = _narrow_hps_scale(bp, tq[1], tp[1])
+    r2 = _narrow_hps_scale(bp, tq[2], tp[2])
+
+    relined = relinearize32(NarrowCiphertext(c0=r0, c1=r1, c2=r2, params=bp),
+                            rlk)
+
+    # degree reduction: fold limbs j >= d with SmallReps.compute_simple
+    from .dbfv.lattice import SmallReps
+
+    reps = SmallReps.compute_simple(params.base, d,
+                                    params.plain_modulus).reps
+    q, qi = ctb.b1()
+
+    def fold(x):
+        acc = [x[..., i, :, :] for i in range(d)]
+        for j in range(d, 2 * d - 1):
+            rep = reps[j - d]
+            limb = x[..., j, :, :]
+            for i in range(d):
+                coeff = rep[i]
+                if coeff == 0:
+                    continue
+                s = np.array([coeff % m * (1 << 32) % m for m in ctb.moduli],
+                             dtype=np.uint64).astype(np.uint32)
+                scaled = w32.mont_mul32(limb, jnp.asarray(s)[:, None], q, qi)
+                acc[i] = w32.mod_add32(acc[i], scaled, q)
+        return jnp.stack(acc, axis=-3)
+
+    out = NarrowCiphertext(c0=fold(relined.c0), c1=fold(relined.c1),
+                           params=bp)
+    return NarrowDbfvCiphertext(limbs=out,
+                                mul_depth=max(ct1.mul_depth, ct2.mul_depth) + 1,
+                                params=params)
+
+
+_dbfv_mul_jit32 = jax.jit(_dbfv_mul_impl)
+
+
+def dbfv_mul(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
+             rlk: NarrowRelinKey) -> NarrowDbfvCiphertext:
+    """Narrow-engine dBFV multiply (deferred-sum, all-narrow hot path)."""
+    if max(ct1.mul_depth, ct2.mul_depth) + 1 > 1:
+        from .errors import NotImplementedYet
+
+        raise NotImplementedYet("chained dBFV multiplication requires bootstrap")
+    bp = ct1.params.bfv
+    if bp.aux_basis.modulus_product <= (ct1.params.num_digits
+                                        * bp.ring_degree * bp.big_q // 2):
+        raise InvalidParam("aux basis too small for deferred-sum scaling")
+    fn = _dbfv_mul_jit32 if _config.jit_enabled() else _dbfv_mul_impl
+    return fn(ct1, ct2, rlk)

@@ -1,0 +1,57 @@
+"""Narrow-basis engine tests: roundtrips, add, u64 dBFV multiply."""
+
+import numpy as np
+import jax
+import pytest
+
+from exacto_tpu import narrow as nr
+
+
+@pytest.fixture(scope="module")
+def mini():
+    """u64-capability narrow params on n=16 (2 Q-primes, 4 aux primes)."""
+    n = 16
+    qs = nr.find_narrow_primes(n, 2, 31)
+    ps = nr.find_narrow_primes(n, 4, 29, skip=qs)
+    bfv = nr.NarrowParams.create(n, 1040407, qs, ps, gadget_base=256)
+    params = nr.NarrowDbfvParams(base=256, num_digits=8, plain_modulus=0, bfv=bfv)
+    sk = nr.gen_secret_key(jax.random.PRNGKey(1), bfv)
+    rlk = nr.gen_relin_key(jax.random.PRNGKey(2), sk)
+    return params, sk, rlk
+
+
+def test_narrow_bfv_roundtrip(mini):
+    params, sk, _ = mini
+    bfv = params.bfv
+    n = bfv.ring_degree
+    coeffs = np.zeros((3, n), dtype=np.uint64)
+    coeffs[:, 0] = [0, 42, 1040406]
+    ct = nr.encrypt_sk(jax.random.PRNGKey(5), coeffs, sk)
+    dec = nr.decrypt(ct, sk)
+    np.testing.assert_array_equal(dec[:, 0], coeffs[:, 0])
+
+
+def test_narrow_dbfv_roundtrip_add(mini):
+    params, sk, _ = mini
+    vals = np.array([0, 3, 2**64 - 1, 0xDEADBEEFCAFEBABE], dtype=np.uint64)
+    ct = nr.dbfv_encrypt_sk(jax.random.PRNGKey(7), vals, sk, params)
+    got = nr.dbfv_decrypt(ct, sk)
+    np.testing.assert_array_equal(np.asarray(got, dtype=np.uint64), vals)
+
+    ct2 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(8), vals[::-1].copy(), sk, params)
+    got2 = nr.dbfv_decrypt(nr.dbfv_add(ct, ct2), sk)
+    np.testing.assert_array_equal(np.asarray(got2, dtype=np.uint64),
+                                  vals + vals[::-1])
+
+
+def test_narrow_dbfv_mul_u64(mini):
+    params, sk, rlk = mini
+    a = np.array([3, 0xDEADBEEFCAFEBABE, 2**64 - 1], dtype=np.uint64)
+    b = np.array([7, 0x123456789ABCDEF, 2**64 - 1], dtype=np.uint64)
+    ct1 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(11), a, sk, params)
+    ct2 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(12), b, sk, params)
+    prod = nr.dbfv_mul(ct1, ct2, rlk)
+    got = nr.dbfv_decrypt(prod, sk)
+    want = (a.astype(object) * b.astype(object)) % (1 << 64)
+    np.testing.assert_array_equal(np.asarray(got, dtype=np.uint64).astype(object),
+                                  want)
