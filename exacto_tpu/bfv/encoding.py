@@ -8,8 +8,8 @@ Reference: /root/reference/src/bfv/encoding.rs.  Differences, deliberate:
   packing (admitted at encoding.rs:31-32).  Here ``encode_coeffs`` provides
   that exact behavior, while ``encode_simd`` implements TRUE slot packing via
   the negacyclic NTT mod p (valid when p is prime and p = 1 mod 2n), so that
-  plaintext-slot products really are elementwise.  ``encode_simd`` falls back
-  to coefficient packing is NOT done silently — it raises if p lacks slots.
+  plaintext-slot products really are elementwise.  ``encode_simd`` never falls back
+  silently — it raises if p lacks slots.
 """
 
 from __future__ import annotations

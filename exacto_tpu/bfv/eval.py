@@ -21,7 +21,6 @@ from .. import config as _config
 from ..params import BfvParams
 from ..ring import hostmath as hm
 from ..ring import wordops as w
-from ..ring.poly import negacyclic_mul_host
 from ..ring.rns import (
     RnsPoly, from_coeff_residues, from_host_residues, rp_add, rp_automorphism,
     rp_monomial_mul, rp_mul, rp_neg, rp_sub, rp_zero, to_coeff_residues,

@@ -21,7 +21,6 @@ import numpy as np
 
 from .. import config as _config
 from ..params import BfvParams
-from ..ring import ntt as nttmod
 from ..ring import wordops as w
 from ..ring.rns import RnsBasis, RnsPoly, rp_add, rp_mul, rp_neg, rp_automorphism
 from ..sampling import sample_gaussian_rns, sample_ternary_rns, sample_uniform_rns

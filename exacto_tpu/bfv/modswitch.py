@@ -15,7 +15,7 @@ from functools import lru_cache
 from ..errors import InvalidParam
 from ..params import BfvParams, BfvParamsBuilder
 from ..ring import wordops as w
-from ..ring.rns import RnsPoly, from_coeff_residues, to_coeff_residues
+from ..ring.rns import from_coeff_residues, to_coeff_residues
 from . import BfvCiphertext
 
 

@@ -13,7 +13,6 @@ from ..bfv.keygen import GaloisKey
 from ..errors import InvalidParam
 from ..params import DbfvParams
 from ..ring import hostmath as hm
-from ..ring.rns import rp_zero
 from ..bfv import BfvCiphertext
 from ..ring.rns import RnsPoly
 from .ciphertext import DbfvCiphertext

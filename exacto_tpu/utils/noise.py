@@ -9,10 +9,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..bfv.encrypt import phase as bfv_phase
 from ..bfv.encrypt import decrypt as bfv_decrypt
 from ..bfv.keygen import SecretKey
-from ..ring.rns import crt_to_ints_host, to_u64_host
+from ..ring.rns import crt_to_ints_host
 
 
 def bfv_noise_inf(ct, sk: SecretKey) -> int:
