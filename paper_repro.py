@@ -70,7 +70,10 @@ def run_profile(profile: Profile, n: int, batch: int):
     vals_a = rng.integers(0, 1 << 63, batch, dtype=np.uint64) * 2 + 1
     vals_b = rng.integers(0, 1 << 63, batch, dtype=np.uint64) * 2 + 1
 
-    enc = jax.jit(lambda k, v: dbfv_encrypt_sk(k, v, sk, params))
+    # library-internal jit handles the device part; digit decomposition is host
+    def enc(k, v):
+        return dbfv_encrypt_sk(k, v, sk, params)
+
     t0 = time.time()
     ct_a = jax.block_until_ready(enc(ks[2], vals_a))
     compile_enc = time.time() - t0
