@@ -622,27 +622,30 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
     e20 = _extend_to_aux(bp, c20)
     e21 = _extend_to_aux(bp, c21)
 
-    def grid(basis, a, b):
+    def conv_limbs(basis, a, b):
+        """Anti-diagonal sums of limb-pair pointwise products WITHOUT
+        materializing the [d, d] grid: per output k, multiply the aligned
+        limb slices and sum — d^2 multiplies total, 2d-1 output tensors."""
         q, qi = basis.b1()
-        return w32.mont_mul32(a[..., :, None, :, :], b[..., None, :, :, :], q, qi)
-
-    def antidiag(basis, g):
-        q = basis.q.reshape(-1, 1)
         outs = []
         for k in range(2 * d - 1):
-            pairs = [(i, k - i) for i in range(max(0, k - d + 1), min(d, k + 1))]
-            acc = g[..., pairs[0][0], pairs[0][1], :, :]
-            for (i, j) in pairs[1:]:
-                acc = w32.mod_add32(acc, g[..., i, j, :, :], q)
+            i0, i1 = max(0, k - d + 1), min(d, k + 1)
+            # a[i] * b[k-i] for i in [i0, i1): aligned slices of length w
+            asl = a[..., i0:i1, :, :]
+            bsl = b[..., k - i1 + 1:k - i0 + 1, :, :][..., ::-1, :, :]
+            prod = w32.mont_mul32(asl, bsl, q, qi)
+            acc = prod[..., 0, :, :]
+            for j in range(1, i1 - i0):
+                acc = w32.mod_add32(acc, prod[..., j, :, :], q)
             outs.append(acc)
         return jnp.stack(outs, axis=-3)
 
     def tensor3(basis, a0, a1, b0, b1):
         q = basis.q.reshape(-1, 1)
-        t0 = antidiag(basis, grid(basis, a0, b0))
-        t1 = antidiag(basis, w32.mod_add32(grid(basis, a0, b1),
-                                           grid(basis, a1, b0), q))
-        t2 = antidiag(basis, grid(basis, a1, b1))
+        t0 = conv_limbs(basis, a0, b0)
+        t1 = w32.mod_add32(conv_limbs(basis, a0, b1),
+                           conv_limbs(basis, a1, b0), q)
+        t2 = conv_limbs(basis, a1, b1)
         return t0, t1, t2
 
     tq = tensor3(ctb, c10, c11, c20, c21)
