@@ -630,13 +630,10 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
         outs = []
         for k in range(2 * d - 1):
             i0, i1 = max(0, k - d + 1), min(d, k + 1)
-            # a[i] * b[k-i] for i in [i0, i1): aligned slices of length w
-            asl = a[..., i0:i1, :, :]
-            bsl = b[..., k - i1 + 1:k - i0 + 1, :, :][..., ::-1, :, :]
-            prod = w32.mont_mul32(asl, bsl, q, qi)
-            acc = prod[..., 0, :, :]
-            for j in range(1, i1 - i0):
-                acc = w32.mod_add32(acc, prod[..., j, :, :], q)
+            acc = None
+            for i in range(i0, i1):
+                term = w32.mont_mul32(a[..., i, :, :], b[..., k - i, :, :], q, qi)
+                acc = term if acc is None else w32.mod_add32(acc, term, q)
             outs.append(acc)
         return jnp.stack(outs, axis=-3)
 
