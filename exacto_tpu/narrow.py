@@ -259,9 +259,28 @@ class NarrowRelinKey:
     params: NarrowParams = None
 
 
+@flax.struct.dataclass
+class NarrowPublicKey:
+    pk0: jnp.ndarray = None
+    pk1: jnp.ndarray = None
+    params: NarrowParams = None
+
+
 def gen_secret_key(key, params: NarrowParams) -> NarrowSecretKey:
     s = sample_ternary_signed(key, (params.ring_degree,))
     return NarrowSecretKey(poly=from_signed32(params.ct_basis, s), params=params)
+
+
+def gen_public_key(key, sk: NarrowSecretKey) -> NarrowPublicKey:
+    """pk = (-(a s + e), a) over the narrow basis."""
+    params = sk.params
+    basis = params.ct_basis
+    k_a, k_e = jax.random.split(key)
+    a = sample_uniform32(k_a, basis)
+    e = from_signed32(basis, sample_gaussian_signed(k_e, params.sigma,
+                                                   (params.ring_degree,)))
+    pk0 = np_neg(basis, np_add(basis, np_mul(basis, a, sk.poly), e))
+    return NarrowPublicKey(pk0=pk0, pk1=a, params=params)
 
 
 def gen_relin_key(key, sk: NarrowSecretKey) -> NarrowRelinKey:
@@ -310,6 +329,49 @@ def encrypt_sk(key, coeffs_u64: np.ndarray, sk: NarrowSecretKey,
     c0 = np_add(basis, np_add(basis, np_neg(basis, np_mul(basis, a, sk.poly)), e),
                 m_poly)
     return NarrowCiphertext(c0=c0, c1=a, params=params)
+
+
+def encrypt_pk(key, coeffs_u64: np.ndarray, pk: NarrowPublicKey,
+               delta_scale=True) -> NarrowCiphertext:
+    """Public-key encryption: ct = (pk0 u + e1 + Delta m, pk1 u + e2)."""
+    params = pk.params
+    basis = params.ct_basis
+    lo, hi = w.to_pair_np(np.asarray(coeffs_u64, dtype=np.uint64))
+    m_poly = from_u64_coeffs32(basis, jnp.asarray(lo), jnp.asarray(hi))
+    if delta_scale:
+        q, qi = basis.b1()
+        m_poly = w32.mont_mul32(m_poly, params.delta_mont[:, None], q, qi)
+    batch = np.asarray(coeffs_u64).shape[:-1]
+    k_u, k_e1, k_e2 = jax.random.split(key, 3)
+    u = from_signed32(basis, (jax.random.bits(
+        k_u, shape=tuple(batch) + (params.ring_degree,),
+        dtype=jnp.uint32) & 1).astype(jnp.int32))
+    e1 = from_signed32(basis, sample_gaussian_signed(
+        k_e1, params.sigma, tuple(batch) + (params.ring_degree,)))
+    e2 = from_signed32(basis, sample_gaussian_signed(
+        k_e2, params.sigma, tuple(batch) + (params.ring_degree,)))
+    c0 = np_add(basis, np_add(basis, np_mul(basis, pk.pk0, u), e1), m_poly)
+    c1 = np_add(basis, np_mul(basis, pk.pk1, u), e2)
+    return NarrowCiphertext(c0=c0, c1=c1, params=params)
+
+
+def dbfv_encrypt(key, values, pk: NarrowPublicKey,
+                 params: "NarrowDbfvParams") -> "NarrowDbfvCiphertext":
+    """Public-key dBFV encryption over the narrow basis."""
+    from .dbfv.decomposition import digit_decompose
+
+    d = params.num_digits
+    n = params.bfv.ring_degree
+    arr = np.asarray(values, dtype=np.uint64)
+    out = np.zeros(arr.shape + (d, n), dtype=np.uint64)
+    flat = arr.reshape(-1)
+    o = out.reshape(-1, d, n)
+    mod = params.effective_plain_modulus
+    for idx, v in enumerate(flat):
+        for i, dig in enumerate(digit_decompose(int(v) % mod, params.base, d)):
+            o[idx, i, 0] = dig
+    limbs = encrypt_pk(key, out, pk)
+    return NarrowDbfvCiphertext(limbs=limbs, mul_depth=0, params=params)
 
 
 def decrypt(ct: NarrowCiphertext, sk: NarrowSecretKey) -> np.ndarray:

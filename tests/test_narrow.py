@@ -55,3 +55,19 @@ def test_narrow_dbfv_mul_u64(mini):
     want = (a.astype(object) * b.astype(object)) % (1 << 64)
     np.testing.assert_array_equal(np.asarray(got, dtype=np.uint64).astype(object),
                                   want)
+
+
+def test_narrow_pk_encrypt_and_mul(mini):
+    params, sk, rlk = mini
+    pk = nr.gen_public_key(jax.random.PRNGKey(20), sk)
+    vals = np.array([5, 123456789012345], dtype=np.uint64)
+    ct = nr.dbfv_encrypt(jax.random.PRNGKey(21), vals, pk, params)
+    got = nr.dbfv_decrypt(ct, sk)
+    np.testing.assert_array_equal(np.asarray(got, dtype=np.uint64), vals)
+
+    ct2 = nr.dbfv_encrypt(jax.random.PRNGKey(22), vals[::-1].copy(), pk, params)
+    prod = nr.dbfv_mul(ct, ct2, rlk)
+    want = (vals.astype(object) * vals[::-1].astype(object)) % (1 << 64)
+    got2 = nr.dbfv_decrypt(prod, sk)
+    np.testing.assert_array_equal(
+        np.asarray(got2, dtype=np.uint64).astype(object), want)
