@@ -670,6 +670,112 @@ def dbfv_add(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext):
         mul_depth=max(ct1.mul_depth, ct2.mul_depth), params=ct1.params)
 
 
+def dbfv_sub(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext):
+    basis = ct1.params.bfv.ct_basis
+    return NarrowDbfvCiphertext(
+        limbs=NarrowCiphertext(
+            c0=np_sub(basis, ct1.limbs.c0, ct2.limbs.c0),
+            c1=np_sub(basis, ct1.limbs.c1, ct2.limbs.c1),
+            params=ct1.params.bfv),
+        mul_depth=max(ct1.mul_depth, ct2.mul_depth), params=ct1.params)
+
+
+def dbfv_neg(ct: NarrowDbfvCiphertext):
+    basis = ct.params.bfv.ct_basis
+    return NarrowDbfvCiphertext(
+        limbs=NarrowCiphertext(c0=np_neg(basis, ct.limbs.c0),
+                               c1=np_neg(basis, ct.limbs.c1),
+                               params=ct.params.bfv),
+        mul_depth=ct.mul_depth, params=ct.params)
+
+
+def plain_mul(ct: NarrowCiphertext, coeffs_u64: np.ndarray) -> NarrowCiphertext:
+    """ct * raw plaintext polynomial (no Delta scaling)."""
+    basis = ct.params.ct_basis
+    lo, hi = w.to_pair_np(np.asarray(coeffs_u64, dtype=np.uint64))
+    pt = from_u64_coeffs32(basis, jnp.asarray(lo), jnp.asarray(hi))
+    return NarrowCiphertext(
+        c0=np_mul(basis, ct.c0, pt), c1=np_mul(basis, ct.c1, pt),
+        c2=None if ct.c2 is None else np_mul(basis, ct.c2, pt),
+        params=ct.params)
+
+
+def plain_add(ct: NarrowCiphertext, coeffs_u64: np.ndarray) -> NarrowCiphertext:
+    """ct + Delta*m."""
+    params = ct.params
+    basis = params.ct_basis
+    lo, hi = w.to_pair_np(np.asarray(coeffs_u64, dtype=np.uint64))
+    m_poly = from_u64_coeffs32(basis, jnp.asarray(lo), jnp.asarray(hi))
+    q, qi = basis.b1()
+    delta_m = w32.mont_mul32(m_poly, params.delta_mont[:, None], q, qi)
+    return NarrowCiphertext(c0=np_add(basis, ct.c0, delta_m), c1=ct.c1,
+                            c2=ct.c2, params=params)
+
+
+# ---------------------------------------------------------------------------
+# automorphisms (eval-domain gather, same orderings as the wide engine)
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class NarrowGaloisKey:
+    ks0: jnp.ndarray = None  # [D, L, n]
+    ks1: jnp.ndarray = None
+    element: int = flax.struct.field(pytree_node=False, default=3)
+    params: NarrowParams = None
+
+
+def _auto_perm(n: int, k: int):
+    from .ring.ntt import automorphism_perm
+
+    return jnp.asarray(automorphism_perm(n, k % (2 * n)))
+
+
+def gen_galois_key(key, sk: NarrowSecretKey, element: int) -> NarrowGaloisKey:
+    params = sk.params
+    basis = params.ct_basis
+    D = params.gadget_digits
+    perm = _auto_perm(params.ring_degree, element)
+    s_auto = sk.poly[..., perm]
+    k_a, k_e = jax.random.split(key)
+    a = sample_uniform32(k_a, basis, (D,))
+    e = from_signed32(basis, sample_gaussian_signed(
+        k_e, params.sigma, (D, params.ring_degree)))
+    g = np.array([[pow(params.gadget_base, i, m) * (1 << 32) % m
+                   for m in basis.moduli] for i in range(D)],
+                 dtype=np.uint64).astype(np.uint32)
+    q, qi = basis.b1()
+    g_target = w32.mont_mul32(s_auto, jnp.asarray(g)[..., None], q, qi)
+    ks0 = np_add(basis, np_neg(basis, np_add(basis, np_mul(basis, a, sk.poly), e)),
+                 g_target)
+    return NarrowGaloisKey(ks0=ks0, ks1=a, element=int(element), params=params)
+
+
+def apply_automorphism(ct: NarrowCiphertext, gk: NarrowGaloisKey) -> NarrowCiphertext:
+    """sigma_k then key-switch back to s — eval-domain gather + narrow keyswitch."""
+    params = ct.params
+    basis = params.ct_basis
+    perm = _auto_perm(params.ring_degree, gk.element)
+    c0a = ct.c0[..., perm]
+    c1a = ct.c1[..., perm]
+    digits = _gadget_digits32(params, c1a)
+    q, qi = basis.b1()
+    prod0 = w32.mont_mul32(digits, gk.ks0, q, qi)
+    prod1 = w32.mont_mul32(digits, gk.ks1, q, qi)
+    D = params.gadget_digits
+    acc0 = prod0[..., 0, :, :]
+    acc1 = prod1[..., 0, :, :]
+    for i in range(1, D):
+        acc0 = w32.mod_add32(acc0, prod0[..., i, :, :], q)
+        acc1 = w32.mod_add32(acc1, prod1[..., i, :, :], q)
+    return NarrowCiphertext(c0=np_add(basis, c0a, acc0), c1=acc1, params=params)
+
+
+def dbfv_apply_automorphism(ct: NarrowDbfvCiphertext,
+                            gk: NarrowGaloisKey) -> NarrowDbfvCiphertext:
+    return NarrowDbfvCiphertext(limbs=apply_automorphism(ct.limbs, gk),
+                                mul_depth=ct.mul_depth, params=ct.params)
+
+
 def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
                    rlk: NarrowRelinKey) -> NarrowDbfvCiphertext:
     params = ct1.params

@@ -71,3 +71,19 @@ def test_narrow_pk_encrypt_and_mul(mini):
     got2 = nr.dbfv_decrypt(prod, sk)
     np.testing.assert_array_equal(
         np.asarray(got2, dtype=np.uint64).astype(object), want)
+
+
+def test_narrow_sub_neg_automorphism(mini):
+    params, sk, rlk = mini
+    a = np.array([100, 2**40], dtype=np.uint64)
+    b = np.array([30, 7], dtype=np.uint64)
+    ct1 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(31), a, sk, params)
+    ct2 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(32), b, sk, params)
+    got = nr.dbfv_decrypt(nr.dbfv_sub(ct1, ct2), sk)
+    np.testing.assert_array_equal(np.asarray(got, dtype=np.uint64), a - b)
+    got2 = nr.dbfv_decrypt(nr.dbfv_neg(ct2), sk)
+    np.testing.assert_array_equal(np.asarray(got2, dtype=np.uint64), (-b) % (1 << 64) if False else (0 - b))
+
+    gk = nr.gen_galois_key(jax.random.PRNGKey(33), sk, 3)
+    got3 = nr.dbfv_decrypt(nr.dbfv_apply_automorphism(ct1, gk), sk)
+    np.testing.assert_array_equal(np.asarray(got3, dtype=np.uint64), a)
