@@ -48,8 +48,10 @@ def batch_spec(tree, mesh: Mesh, axis_name: str = "batch",
     """
     if min_batch_ndim is None:
         from ..dbfv.ciphertext import DbfvCiphertext
+        from ..narrow import NarrowDbfvCiphertext
 
-        min_batch_ndim = 4 if isinstance(tree, DbfvCiphertext) else 3
+        min_batch_ndim = 4 if isinstance(
+            tree, (DbfvCiphertext, NarrowDbfvCiphertext)) else 3
 
     def spec_for(leaf):
         ndim = np.ndim(leaf)

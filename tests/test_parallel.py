@@ -106,3 +106,25 @@ def test_sharded_dbfv_add_8way():
     ct2 = shard_batch(dbfv_encrypt_sk(k3, b, sk, params), mesh)
     got = dbfv_decrypt(jax.jit(dbfv_add)(ct1, ct2), sk)
     np.testing.assert_array_equal(np.asarray(got, dtype=np.uint64), (a + b) % 256)
+
+
+def test_sharded_narrow_dbfv_mul():
+    from exacto_tpu import narrow as nr
+
+    n = 16
+    qs = nr.find_narrow_primes(n, 2, 31)
+    ps = nr.find_narrow_primes(n, 4, 29, skip=qs)
+    bfv = nr.NarrowParams.create(n, 1040407, qs, ps, gadget_base=256)
+    params = nr.NarrowDbfvParams(base=256, num_digits=8, plain_modulus=0, bfv=bfv)
+    sk = nr.gen_secret_key(jax.random.PRNGKey(1), bfv)
+    rlk = nr.gen_relin_key(jax.random.PRNGKey(2), sk)
+    mesh = make_mesh({"batch": 8})
+
+    a = np.arange(8, dtype=np.uint64) * 977 + 3
+    b = np.arange(8, dtype=np.uint64) + 11
+    ct1 = shard_batch(nr.dbfv_encrypt_sk(jax.random.PRNGKey(3), a, sk, params), mesh)
+    ct2 = shard_batch(nr.dbfv_encrypt_sk(jax.random.PRNGKey(4), b, sk, params), mesh)
+    rlk_r = replicate(rlk, mesh)
+    prod = jax.jit(lambda x, y, r: nr.dbfv_mul(x, y, r))(ct1, ct2, rlk_r)
+    got = nr.dbfv_decrypt(prod, sk)
+    np.testing.assert_array_equal(np.asarray(got, dtype=np.uint64), a * b)
