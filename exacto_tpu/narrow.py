@@ -776,6 +776,32 @@ def dbfv_apply_automorphism(ct: NarrowDbfvCiphertext,
                                 mul_depth=ct.mul_depth, params=ct.params)
 
 
+def _fold_eval(basis, x, reps, d):
+    """Degree reduction IN THE EVAL DOMAIN: fold limbs j >= d of a
+    [..., 2d-1, L, n] tensor back into the first d limbs with the SmallReps
+    integer coefficients.  Valid on any RNS basis (the fold is an integer
+    linear map over the limb axis, so it commutes with NTT, HPS scaling and
+    relinearization); applying it BEFORE the HPS scale + relin cuts their
+    limb count from 2d-1 to d and incurs one rounding error per output limb
+    instead of |rep| of them (reference folds per-product post-scale,
+    reduction.rs:15-60)."""
+    q, qi = basis.b1()
+    acc = [x[..., i, :, :] for i in range(d)]
+    nlimbs = x.shape[-3]
+    for j in range(d, nlimbs):
+        rep = reps[j - d]
+        limb = x[..., j, :, :]
+        for i in range(d):
+            coeff = int(rep[i])
+            if coeff == 0:
+                continue
+            s = np.array([coeff % m * (1 << 32) % m for m in basis.moduli],
+                         dtype=np.uint64).astype(np.uint32)
+            scaled = w32.mont_mul32(limb, jnp.asarray(s)[:, None], q, qi)
+            acc[i] = w32.mod_add32(acc[i], scaled, q)
+    return jnp.stack(acc, axis=-3)
+
+
 def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
                    rlk: NarrowRelinKey) -> NarrowDbfvCiphertext:
     params = ct1.params
@@ -816,37 +842,22 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
     tq = tensor3(ctb, c10, c11, c20, c21)
     tp = tensor3(auxb, e10, e11, e20, e21)
 
-    r0 = _narrow_hps_scale(bp, tq[0], tp[0])
-    r1 = _narrow_hps_scale(bp, tq[1], tp[1])
-    r2 = _narrow_hps_scale(bp, tq[2], tp[2])
-
-    relined = relinearize32(NarrowCiphertext(c0=r0, c1=r1, c2=r2, params=bp),
-                            rlk)
-
-    # degree reduction: fold limbs j >= d with SmallReps.compute_simple
+    # degree reduction BEFORE the HPS scale: 2d-1 -> d limbs in eval domain
+    # on both bases (see _fold_eval); the scale, relin and keyswitch then run
+    # on d limbs instead of 2d-1.
     from .dbfv.lattice import SmallReps
 
     reps = SmallReps.compute_simple(params.base, d,
                                     params.plain_modulus).reps
-    q, qi = ctb.b1()
+    tq = tuple(_fold_eval(ctb, t, reps, d) for t in tq)
+    tp = tuple(_fold_eval(auxb, t, reps, d) for t in tp)
 
-    def fold(x):
-        acc = [x[..., i, :, :] for i in range(d)]
-        for j in range(d, 2 * d - 1):
-            rep = reps[j - d]
-            limb = x[..., j, :, :]
-            for i in range(d):
-                coeff = rep[i]
-                if coeff == 0:
-                    continue
-                s = np.array([coeff % m * (1 << 32) % m for m in ctb.moduli],
-                             dtype=np.uint64).astype(np.uint32)
-                scaled = w32.mont_mul32(limb, jnp.asarray(s)[:, None], q, qi)
-                acc[i] = w32.mod_add32(acc[i], scaled, q)
-        return jnp.stack(acc, axis=-3)
+    r0 = _narrow_hps_scale(bp, tq[0], tp[0])
+    r1 = _narrow_hps_scale(bp, tq[1], tp[1])
+    r2 = _narrow_hps_scale(bp, tq[2], tp[2])
 
-    out = NarrowCiphertext(c0=fold(relined.c0), c1=fold(relined.c1),
-                           params=bp)
+    out = relinearize32(NarrowCiphertext(c0=r0, c1=r1, c2=r2, params=bp),
+                        rlk)
     return NarrowDbfvCiphertext(limbs=out,
                                 mul_depth=max(ct1.mul_depth, ct2.mul_depth) + 1,
                                 params=params)
@@ -863,7 +874,10 @@ def dbfv_mul(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
 
         raise NotImplementedYet("chained dBFV multiplication requires bootstrap")
     bp = ct1.params.bfv
-    if bp.aux_basis.modulus_product <= (ct1.params.num_digits
+    # pre-scale degree reduction multiplies the tensor magnitude by at most
+    # 1 + (d-1)*(base-1) (SmallReps digits < base, at most d-1 folded limbs)
+    fold_factor = 1 + (ct1.params.num_digits - 1) * (ct1.params.base - 1)
+    if bp.aux_basis.modulus_product <= (fold_factor * ct1.params.num_digits
                                         * bp.ring_degree * bp.big_q // 2):
         raise InvalidParam("aux basis too small for deferred-sum scaling")
     fn = _dbfv_mul_jit32 if _config.jit_enabled() else _dbfv_mul_impl
