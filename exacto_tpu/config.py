@@ -20,6 +20,22 @@ def jit_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def pallas_ntt_enabled() -> bool:
+    """Fused Pallas NTT on the narrow path (TPU backend only).
+
+    Default OFF: the standalone kernel beats the stage-by-stage jnp NTT 5.4x
+    (283k vs 52k transforms/s at n=4096), but inside the full multiply graph
+    XLA's cross-stage fusion already runs the jnp path at ~1M transforms/s
+    and the pallas_call boundary blocks that fusion (measured 986 vs 1116
+    ops/s end-to-end).  EXACTO_TPU_PALLAS_NTT=1 opts in (TPU compiles the
+    Mosaic kernel; other backends run it interpreted, for tests).
+    """
+    env = os.environ.get("EXACTO_TPU_PALLAS_NTT")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
 def dispatch(jitted, eager):
     """Return a callable choosing jitted vs eager per call (cheap check)."""
     def call(*args, **kwargs):

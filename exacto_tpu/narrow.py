@@ -172,10 +172,13 @@ def find_narrow_primes(n: int, count: int, max_bits: int = 31,
 def u64_dbfv_fast(n: int = 4096) -> NarrowDbfvParams:
     """Performance preset matching u64_dbfv's capability (p=2^64, b=256, d=8)
     with a TPU-first narrow basis: Q = two ~31-bit primes (~2^61 > the
-    reference's 2^60), P = four ~29-bit primes (~2^114 > d*n*Q/2)."""
+    reference's 2^60), P = three ~31-bit primes (~2^93, above the pre-scale
+    fold bound fold_factor*d*n*Q/2 ~ 2^87 with ~2^6 slack); gadget base 2^16
+    (4 digits — keyswitch noise ~2^25 per limb, far under the Delta/2 ~ 2^40
+    budget)."""
     qs = find_narrow_primes(n, 2, 31)
-    ps = find_narrow_primes(n, 4, 29, skip=qs)
-    bfv = NarrowParams.create(n, 1040407, qs, ps, gadget_base=256)
+    ps = find_narrow_primes(n, 3, 31, skip=qs)
+    bfv = NarrowParams.create(n, 1040407, qs, ps, gadget_base=1 << 16)
     return NarrowDbfvParams(base=256, num_digits=8, plain_modulus=0, bfv=bfv)
 
 
@@ -200,8 +203,20 @@ def np_mul(basis, a, b):
     return w32.mont_mul32(a, b, q, qi)
 
 
+def _use_fused_ntt(basis) -> bool:
+    from .ops import ntt_pallas32 as npal
+
+    return (_config.pallas_ntt_enabled()
+            and npal.supported(basis.ring_degree))
+
+
 def from_coeff_residues32(basis, x):
     """Standard-form u32 residues [..., L, n] -> NTT-Montgomery domain."""
+    if _use_fused_ntt(basis):
+        from .ops import ntt_pallas32 as npal
+
+        return npal.ntt_fwd32_fused(x, basis.moduli, to_mont=True,
+                                    interpret=jax.default_backend() != "tpu")
     q, qi = basis.b1()
     xm = w32.to_mont32(x, q, qi, basis.r2.reshape(-1, 1))
     return w32.ntt_fwd32(xm, basis.psi_rev, basis.q, basis.qinv)
@@ -209,6 +224,11 @@ def from_coeff_residues32(basis, x):
 
 def to_coeff_residues32(basis, x):
     """NTT-Montgomery -> standard-form u32 residues [..., L, n]."""
+    if _use_fused_ntt(basis):
+        from .ops import ntt_pallas32 as npal
+
+        return npal.ntt_inv32_fused(x, basis.moduli, from_mont=True,
+                                    interpret=jax.default_backend() != "tpu")
     raw = w32.ntt_inv32(x, basis.ipsi_rev, basis.ninv, basis.q, basis.qinv)
     return w32.from_mont32(raw, basis.b1()[0], basis.b1()[1])
 
@@ -832,11 +852,14 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
         return jnp.stack(outs, axis=-3)
 
     def tensor3(basis, a0, a1, b0, b1):
+        """Degree-2 tensor with the Karatsuba identity: t1 = (a0+a1)(b0+b1)
+        - t0 - t2 — three limb convolutions instead of four."""
         q = basis.q.reshape(-1, 1)
         t0 = conv_limbs(basis, a0, b0)
-        t1 = w32.mod_add32(conv_limbs(basis, a0, b1),
-                           conv_limbs(basis, a1, b0), q)
         t2 = conv_limbs(basis, a1, b1)
+        tm = conv_limbs(basis, w32.mod_add32(a0, a1, q),
+                        w32.mod_add32(b0, b1, q))
+        t1 = w32.mod_sub32(w32.mod_sub32(tm, t0, q), t2, q)
         return t0, t1, t2
 
     tq = tensor3(ctb, c10, c11, c20, c21)
