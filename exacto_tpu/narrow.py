@@ -286,8 +286,19 @@ class NarrowPublicKey:
     params: NarrowParams = None
 
 
-def gen_secret_key(key, params: NarrowParams) -> NarrowSecretKey:
-    s = sample_ternary_signed(key, (params.ring_degree,))
+def gen_secret_key(key, params: NarrowParams,
+                   hamming_weight: int | None = None) -> NarrowSecretKey:
+    """Ternary secret; optional sparse secret with `hamming_weight` nonzeros
+    (the bootstrap phase-bound trick, same as the wide engine's keygen)."""
+    if hamming_weight is None:
+        s = sample_ternary_signed(key, (params.ring_degree,))
+    else:
+        k_perm, k_sign = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, params.ring_degree)
+        mask = (jnp.argsort(perm) < hamming_weight).astype(jnp.int32)
+        signs = jax.random.bits(k_sign, shape=(params.ring_degree,),
+                                dtype=jnp.uint32) & 1
+        s = mask * jnp.where(signs == 1, 1, -1).astype(jnp.int32)
     return NarrowSecretKey(poly=from_signed32(params.ct_basis, s), params=params)
 
 
@@ -794,6 +805,107 @@ def dbfv_apply_automorphism(ct: NarrowDbfvCiphertext,
                             gk: NarrowGaloisKey) -> NarrowDbfvCiphertext:
     return NarrowDbfvCiphertext(limbs=apply_automorphism(ct.limbs, gk),
                                 mul_depth=ct.mul_depth, params=ct.params)
+
+
+# ---------------------------------------------------------------------------
+# advanced dBFV ops (narrow ports of dbfv/advanced.py, reference advanced.rs)
+# ---------------------------------------------------------------------------
+
+def _scalar_mul_ct(params: NarrowParams, c, scalar: int):
+    """Multiply an eval-domain tensor by a scalar mod t (constant poly —
+    a pure per-prime Montgomery scalar multiply, no NTT needed)."""
+    basis = params.ct_basis
+    s = np.array([scalar % m * (1 << 32) % m for m in basis.moduli],
+                 dtype=np.uint64).astype(np.uint32)
+    q, qi = basis.b1()
+    return w32.mont_mul32(c, jnp.asarray(s)[:, None], q, qi)
+
+
+def dbfv_div_by_base(ct: NarrowDbfvCiphertext) -> NarrowDbfvCiphertext:
+    """phi_b: divide plaintext and modulus by b (reference advanced.rs:36-93).
+
+    c(B) = c0 + B*c~(B) -> c0 * b^{-1} mod t folded into limb 1, limbs shift
+    down; requires b | p.  Limb axis is -3 of c0/c1.
+    """
+    params = ct.params
+    bp = params.bfv
+    d = params.num_digits
+    base = params.base
+    t = bp.plain_modulus
+    old_p = params.effective_plain_modulus
+    if old_p % base != 0:
+        raise InvalidParam(
+            f"plaintext modulus {old_p} is not divisible by base {base}")
+    new_p = old_p // base
+    new_p = 0 if new_p == (1 << 64) else new_p
+    binv = hm.mod_inv(base % t, t)
+
+    def shift(c):
+        c0_div = _scalar_mul_ct(bp, c[..., 0, :, :], binv)
+        limbs = []
+        if d >= 2:
+            limbs.append(w32.mod_add32(c[..., 1, :, :], c0_div,
+                                       bp.ct_basis.q.reshape(-1, 1)))
+        else:
+            limbs.append(c0_div)
+        for i in range(1, d):
+            limbs.append(c[..., i + 1, :, :] if i + 1 < d
+                         else jnp.zeros_like(c[..., 0, :, :]))
+        return jnp.stack(limbs, axis=-3)
+
+    new_params = NarrowDbfvParams(base=base, num_digits=d,
+                                  plain_modulus=new_p, bfv=bp)
+    return NarrowDbfvCiphertext(
+        limbs=NarrowCiphertext(c0=shift(ct.limbs.c0), c1=shift(ct.limbs.c1),
+                               params=bp),
+        mul_depth=ct.mul_depth, params=new_params)
+
+
+def dbfv_change_base(ct: NarrowDbfvCiphertext, new_base: int,
+                     new_num_digits: int) -> NarrowDbfvCiphertext:
+    """Linear change of base b -> b' (reference advanced.rs:99-160): new limb
+    j = sum_i transform[j][i] * old limb i, transform column i = base-b'
+    digits of b^i mod p — a static scalar linear map over the limb axis."""
+    from .dbfv.decomposition import digit_decompose
+
+    if new_base < 2:
+        raise InvalidParam("new base must be >= 2")
+    if new_num_digits < 1:
+        raise InvalidParam("new_num_digits must be >= 1")
+    params = ct.params
+    bp = params.bfv
+    old_d = params.num_digits
+    p = params.effective_plain_modulus
+
+    transform = [[0] * old_d for _ in range(new_num_digits)]
+    b_pow = 1
+    for i in range(old_d):
+        digits = digit_decompose(b_pow % p, new_base, new_num_digits)
+        for j in range(new_num_digits):
+            transform[j][i] = digits[j]
+        b_pow = (b_pow * params.base) % p
+
+    q = bp.ct_basis.q.reshape(-1, 1)
+
+    def apply(c):
+        limbs = []
+        for j in range(new_num_digits):
+            acc = jnp.zeros_like(c[..., 0, :, :])
+            for i in range(old_d):
+                coeff = transform[j][i]
+                if coeff == 0:
+                    continue
+                acc = w32.mod_add32(
+                    acc, _scalar_mul_ct(bp, c[..., i, :, :], coeff), q)
+            limbs.append(acc)
+        return jnp.stack(limbs, axis=-3)
+
+    new_params = NarrowDbfvParams(base=new_base, num_digits=new_num_digits,
+                                  plain_modulus=params.plain_modulus, bfv=bp)
+    return NarrowDbfvCiphertext(
+        limbs=NarrowCiphertext(c0=apply(ct.limbs.c0), c1=apply(ct.limbs.c1),
+                               params=bp),
+        mul_depth=ct.mul_depth, params=new_params)
 
 
 def _fold_eval(basis, x, reps, d):

@@ -87,3 +87,69 @@ def test_narrow_sub_neg_automorphism(mini):
     gk = nr.gen_galois_key(jax.random.PRNGKey(33), sk, 3)
     got3 = nr.dbfv_decrypt(nr.dbfv_apply_automorphism(ct1, gk), sk)
     np.testing.assert_array_equal(np.asarray(got3, dtype=np.uint64), a)
+
+
+@pytest.fixture(scope="module")
+def compact_narrow():
+    """compact_dbfv capability on the narrow engine: b=16, d=2, p=256."""
+    n = 16
+    qs = nr.find_narrow_primes(n, 2, 31)
+    ps = nr.find_narrow_primes(n, 3, 31, skip=qs)
+    bfv = nr.NarrowParams.create(n, 929, qs, ps, gadget_base=256)
+    params = nr.NarrowDbfvParams(base=16, num_digits=2, plain_modulus=256,
+                                 bfv=bfv)
+    sk = nr.gen_secret_key(jax.random.PRNGKey(41), bfv)
+    return params, sk
+
+
+def test_narrow_div_by_base(compact_narrow):
+    params, sk = compact_narrow
+    ct = nr.dbfv_encrypt_sk(jax.random.PRNGKey(42),
+                            np.array([48], dtype=np.uint64), sk, params)
+    ct_div = nr.dbfv_div_by_base(ct)
+    assert ct_div.params.plain_modulus == 16
+    got = nr.dbfv_decrypt(ct_div, sk)
+    assert int(np.asarray(got)[0]) == 3
+
+
+def test_narrow_change_base(compact_narrow):
+    params, sk = compact_narrow
+    for v in [0, 42, 255]:
+        ct = nr.dbfv_encrypt_sk(jax.random.PRNGKey(100 + v),
+                                np.array([v], dtype=np.uint64), sk, params)
+        ct4 = nr.dbfv_change_base(ct, 4, 4)
+        assert ct4.params.base == 4 and ct4.params.num_digits == 4
+        got = nr.dbfv_decrypt(ct4, sk)
+        assert int(np.asarray(got)[0]) == v
+
+
+def test_narrow_bootstrap_chain():
+    """Narrow dBFV mul-then-bootstrap via the wide-host bridge."""
+    from exacto_tpu import narrow_bridge as nb
+    from exacto_tpu.params import BfvParamsBuilder
+
+    n = 16
+    qs = nr.find_narrow_primes(n, 2, 31)
+    ps = nr.find_narrow_primes(n, 3, 31, skip=qs)
+    bfv = nr.NarrowParams.create(n, 5, qs, ps, gadget_base=256)
+    params = nr.NarrowDbfvParams(base=2, num_digits=2, plain_modulus=4,
+                                 bfv=bfv)
+    boot_bfv = (BfvParamsBuilder().ring_degree(n).plain_modulus(97)
+                .ct_moduli([1125899906842817, 1125899906843009,
+                            1125899906843233, 1125899906843617])
+                .sigma(3.2).gadget_base(256).build())
+
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(777), 5)
+    sk = nr.gen_secret_key(k1, bfv, hamming_weight=2)
+    rlk = nr.gen_relin_key(k2, sk)
+    bsk = nb.gen_bootstrap_key_narrow(k3, sk, boot_bfv, 25)
+
+    ct1 = nr.dbfv_encrypt_sk(k4, np.array([3], dtype=np.uint64), sk, params)
+    ct2 = nr.dbfv_encrypt_sk(k5, np.array([2], dtype=np.uint64), sk, params)
+
+    prod = nb.dbfv_mul_then_bootstrap_narrow(ct1, ct2, rlk, bsk)
+    assert prod.mul_depth == 0
+    assert int(np.asarray(nr.dbfv_decrypt(prod, sk))[0]) == (3 * 2) % 4
+
+    chain = nb.dbfv_mul_chain_then_bootstrap_narrow([ct1, ct2, ct1], rlk, bsk)
+    assert int(np.asarray(nr.dbfv_decrypt(chain, sk))[0]) == (3 * 2 * 3) % 4
