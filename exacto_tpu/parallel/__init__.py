@@ -62,6 +62,31 @@ def batch_spec(tree, mesh: Mesh, axis_name: str = "batch",
     return jax.tree_util.tree_map(spec_for, tree)
 
 
+def batch_limb_spec(tree, mesh: Mesh, batch_axis: str = "batch",
+                    limb_axis: str = "limb"):
+    """Shardings for dBFV ciphertexts on a 2D mesh: the ciphertext batch on
+    `batch_axis` AND the digit-limb axis on `limb_axis` ([batch, d, L, n]
+    leaves get P(batch, limb)).  The d^2 digit convolution then reduces
+    partial products across the limb axis — XLA lowers that to psum/
+    all-gather over ICI, the mesh analogue of the reference's rayon
+    fan-out over digit products (dbfv/eval.rs:117)."""
+    def spec_for(leaf):
+        ndim = np.ndim(leaf)
+        if ndim >= 4:
+            return NamedSharding(
+                mesh, P(batch_axis, limb_axis, *([None] * (ndim - 2))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, tree)
+
+
+def shard_batch_limb(tree, mesh: Mesh, batch_axis: str = "batch",
+                     limb_axis: str = "limb"):
+    """Device-put a dBFV ciphertext sharded over batch x limb."""
+    return jax.device_put(tree, batch_limb_spec(tree, mesh, batch_axis,
+                                                limb_axis))
+
+
 def replicated_spec(tree, mesh: Mesh):
     """Shardings replicating every leaf (keys, params) across the mesh."""
     return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)
