@@ -473,22 +473,31 @@ def _narrow_hps_consts(moduli: tuple, aux_moduli: tuple, p: int):
     for m in aux_moduli:
         big_p *= m
     R32 = 1 << 32
+    # Garner mixed-radix tables: inv(p_i) mod p_j (Montgomery) for i < j,
+    # the mixed-radix digits of floor(P/2) (for the sign compare), and
+    # p_j mod q_i (Montgomery) for the Horner evaluation of m mod q_i.
+    garner_inv = tuple(
+        tuple(hm.mod_inv(aux_moduli[i] % pj, pj) * R32 % pj
+              for i in range(j))
+        for j, pj in enumerate(aux_moduli))
+    half_digits = []
+    rem = big_p // 2
+    for pj in aux_moduli:
+        half_digits.append(rem % pj)
+        rem //= pj
     c = {
         "big_q": big_q,
         "big_p": big_p,
-        "half_p": big_p // 2,
         "phi": (p << 126) // big_q + (1 if ((p << 126) % big_q) * 2 >= big_q else 0),
         # per aux prime: Q^{-1} mod p_j in Montgomery form
         "qinv_pj": tuple(hm.mod_inv(big_q % m, m) * R32 % m for m in aux_moduli),
-        # per ct prime: p mod q_i mont, P mod q_i, 2^64 mod q_i mont
+        # per ct prime: p mod q_i mont, P mod q_i
         "p_mont_qi": tuple(p % m * R32 % m for m in moduli),
         "pmodq": tuple(big_p % m for m in moduli),
-        "r64_mont_qi": tuple((1 << 64) % m * R32 % m for m in moduli),
-        # CRT over P in the w_j*(P/p_j) form: each term < p_j*(P/p_j) = P,
-        # so a 128-bit accumulator is exact for P < 2^126
-        "inv_pj_mont": tuple(
-            hm.mod_inv((big_p // m) % m, m) * R32 % m for m in aux_moduli),
-        "p_over_pj": tuple(big_p // m for m in aux_moduli),
+        "garner_inv": garner_inv,
+        "half_digits": tuple(half_digits),
+        "pj_mont_qi": tuple(tuple(pj % m * R32 % m for pj in aux_moduli)
+                            for m in moduli),
     }
     return c
 
@@ -538,27 +547,29 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p):
     qinv_pj = jnp.asarray(np.array(cst["qinv_pj"], dtype=np.uint32))[:, None]
     m_j = w32.mont_mul32(diff, qinv_pj, q_aux, qi_aux)  # standard form
 
-    # CRT m over P: m = sum_j w_j * (P/p_j) - beta*P with
-    # w_j = m_j * (P/p_j)^{-1} mod p_j; each term < P so the 128-bit
-    # accumulator is exact for k*P < 2^128
-    zeros = jnp.zeros_like(m_j[..., 0, :])
-    m128 = (zeros, zeros, zeros, zeros)
+    # Garner mixed-radix reconstruction of m over the aux primes — all
+    # single-u32 narrow ops (no wide accumulator): digits v_j < p_j with
+    # m = v_0 + p_0 (v_1 + p_1 (v_2 + ...)).
+    A = len(params.aux_moduli)
+    vs = []
     for j, pj in enumerate(params.aux_moduli):
         cc = w32.mont_consts32(pj)
-        wj = w32.mont_mul32(m_j[..., j, :], jnp.uint32(cst["inv_pj_mont"][j]),
-                            jnp.uint32(pj), jnp.uint32(cc["qinv_neg"]))
-        tw = tuple(jnp.uint32((cst["p_over_pj"][j] >> (32 * i)) & 0xFFFFFFFF)
-                   for i in range(4))
-        prod = w.mul64x128((wj, jnp.zeros_like(wj)), tw)
-        m128 = w.add128(m128, (prod[0], prod[1], prod[2], prod[3]))
-    big_p_words = tuple(jnp.uint32((cst["big_p"] >> (32 * i)) & 0xFFFFFFFF)
-                        for i in range(4))
-    for _ in range(len(params.aux_moduli)):
-        over = w.ge128(m128, big_p_words)
-        m128 = w.select128(over, w.sub128(m128, big_p_words), m128)
-    half_p_words = tuple(jnp.uint32((cst["half_p"] >> (32 * i)) & 0xFFFFFFFF)
-                         for i in range(4))
-    neg_m = jnp.logical_not(w.ge128(half_p_words, m128))
+        pjs = jnp.uint32(pj)
+        pjis = jnp.uint32(cc["qinv_neg"])
+        r1j = jnp.uint32(cc["r1"])
+        x = m_j[..., j, :]
+        for i in range(j):
+            # reduce v_i (< p_i, possibly >= p_j) mod p_j, then Garner step
+            vi = w32.mont_mul32(vs[i], r1j, pjs, pjis)
+            x = w32.mod_sub32(x, vi, pjs)
+            x = w32.mont_mul32(x, jnp.uint32(cst["garner_inv"][j][i]),
+                               pjs, pjis)
+        vs.append(x)
+    # sign of m (centered mod P): lexicographic mixed-radix compare vs P/2
+    neg_m = jnp.zeros_like(vs[0], dtype=bool)
+    for j in range(A):
+        hj = jnp.uint32(cst["half_digits"][j])
+        neg_m = (vs[j] > hj) | ((vs[j] == hj) & neg_m)
 
     # round term r = round(p * mag / Q) via 64x128 fixed point (exact)
     phi_words = tuple(jnp.uint32((cst["phi"] >> (32 * i)) & 0xFFFFFFFF)
@@ -571,7 +582,8 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p):
     w5 = prod[5] + c4
     r = ((w3 >> 30) | (w4 << 2), (w4 >> 30) | (w5 << 2))  # u64 pair < p
 
-    # assemble result mod each ct prime (narrow)
+    # assemble result mod each ct prime (narrow): Horner over the
+    # mixed-radix digits, m mod q_i = v_0 + p_0 (v_1 + p_1 v_2 + ...)
     outs = []
     for i, m in enumerate(params.moduli):
         cc = w32.mont_consts32(m)
@@ -579,12 +591,12 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p):
         qis = jnp.uint32(cc["qinv_neg"])
         r1s = jnp.uint32(cc["r1"])
         r2s = jnp.uint32(cc["r2"])
-        # m mod q_i from 128-bit m: split into two u64 halves
-        lo64 = w32.reduce_u64_pair32(m128[0], m128[1], qs, qis, r1s, r2s)
-        hi64 = w32.reduce_u64_pair32(m128[2], m128[3], qs, qis, r1s, r2s)
-        m_mod = w32.mod_add32(
-            w32.mont_mul32(hi64, jnp.uint32(cst["r64_mont_qi"][i]), qs, qis),
-            lo64, qs)
+        m_mod = w32.mont_mul32(vs[A - 1], r1s, qs, qis)  # reduce mod q_i
+        for j in range(A - 2, -1, -1):
+            vj = w32.mont_mul32(vs[j], r1s, qs, qis)
+            m_mod = w32.mod_add32(
+                w32.mont_mul32(m_mod, jnp.uint32(cst["pj_mont_qi"][i][j]),
+                               qs, qis), vj, qs)
         m_mod = jnp.where(neg_m,
                           w32.mod_sub32(m_mod, jnp.uint32(cst["pmodq"][i]), qs),
                           m_mod)
