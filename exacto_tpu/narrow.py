@@ -52,6 +52,8 @@ class NarrowBasis:
     r1: jnp.ndarray = None       # [L] u32  (2^32 mod q)
     r2: jnp.ndarray = None       # [L] u32  (2^64 mod q)
     ninv: jnp.ndarray = None     # [L] u32  (n^{-1} in Montgomery form)
+    ninv_std: jnp.ndarray = None # [L] u32  (n^{-1} standard form; fuses
+                                 #           from-Montgomery into the INTT)
     psi_rev: jnp.ndarray = None  # [L, n] u32
     ipsi_rev: jnp.ndarray = None # [L, n] u32
 
@@ -73,6 +75,7 @@ class NarrowBasis:
             r1=u32a([c["r1"] for c in consts]),
             r2=u32a([c["r2"] for c in consts]),
             ninv=u32a([t["ninv"] for t in tabs]),
+            ninv_std=u32a([t["ninv_std"] for t in tabs]),
             psi_rev=jnp.asarray(np.stack([t["psi_rev"] for t in tabs])),
             ipsi_rev=jnp.asarray(np.stack([t["ipsi_rev"] for t in tabs])),
         )
@@ -173,12 +176,12 @@ def u64_dbfv_fast(n: int = 4096) -> NarrowDbfvParams:
     """Performance preset matching u64_dbfv's capability (p=2^64, b=256, d=8)
     with a TPU-first narrow basis: Q = two ~31-bit primes (~2^61 > the
     reference's 2^60), P = three ~31-bit primes (~2^93, above the pre-scale
-    fold bound fold_factor*d*n*Q/2 ~ 2^87 with ~2^6 slack); gadget base 2^16
-    (4 digits — keyswitch noise ~2^25 per limb, far under the Delta/2 ~ 2^40
-    budget)."""
+    fold bound fold_factor*d*n*Q/2 ~ 2^87 with ~2^6 slack); gadget base 2^21
+    (3 digits — keyswitch noise ~2^31 per limb vs the Delta/2 ~ 2^40 budget;
+    one fewer digit = 16 fewer batched NTT sweeps per multiply)."""
     qs = find_narrow_primes(n, 2, 31)
     ps = find_narrow_primes(n, 3, 31, skip=qs)
-    bfv = NarrowParams.create(n, 1040407, qs, ps, gadget_base=1 << 16)
+    bfv = NarrowParams.create(n, 1040407, qs, ps, gadget_base=1 << 21)
     return NarrowDbfvParams(base=256, num_digits=8, plain_modulus=0, bfv=bfv)
 
 
@@ -229,8 +232,9 @@ def to_coeff_residues32(basis, x):
 
         return npal.ntt_inv32_fused(x, basis.moduli, from_mont=True,
                                     interpret=jax.default_backend() != "tpu")
-    raw = w32.ntt_inv32(x, basis.ipsi_rev, basis.ninv, basis.q, basis.qinv)
-    return w32.from_mont32(raw, basis.b1()[0], basis.b1()[1])
+    # standard-form n^{-1} in the final multiply fuses from-Montgomery in
+    return w32.ntt_inv32(x, basis.ipsi_rev, basis.ninv_std, basis.q,
+                         basis.qinv)
 
 
 def from_signed32(basis, v):
@@ -339,6 +343,14 @@ class NarrowCiphertext:
     c0: jnp.ndarray = None  # [..., L, n] u32 (may carry a limb axis at -3)
     c1: jnp.ndarray = None
     c2: jnp.ndarray = None  # None unless mid-multiply
+    # Optional coefficient-domain shadows (standard-form residues, same
+    # shape).  The dBFV multiply's base extension needs coefficient form;
+    # carrying it from encryption (where the INTT is off the hot path)
+    # removes 4 batched INTT sweeps per multiply.  Ops that cannot keep the
+    # shadows cheaply (e.g. automorphisms) drop them; the multiply falls
+    # back to an INTT when absent.
+    c0c: jnp.ndarray = None
+    c1c: jnp.ndarray = None
     params: NarrowParams = None
 
 
@@ -359,7 +371,9 @@ def encrypt_sk(key, coeffs_u64: np.ndarray, sk: NarrowSecretKey,
         k_e, params.sigma, tuple(batch) + (params.ring_degree,)))
     c0 = np_add(basis, np_add(basis, np_neg(basis, np_mul(basis, a, sk.poly)), e),
                 m_poly)
-    return NarrowCiphertext(c0=c0, c1=a, params=params)
+    return NarrowCiphertext(c0=c0, c1=a, params=params,
+                            c0c=to_coeff_residues32(basis, c0),
+                            c1c=to_coeff_residues32(basis, a))
 
 
 def encrypt_pk(key, coeffs_u64: np.ndarray, pk: NarrowPublicKey,
@@ -383,7 +397,9 @@ def encrypt_pk(key, coeffs_u64: np.ndarray, pk: NarrowPublicKey,
         k_e2, params.sigma, tuple(batch) + (params.ring_degree,)))
     c0 = np_add(basis, np_add(basis, np_mul(basis, pk.pk0, u), e1), m_poly)
     c1 = np_add(basis, np_mul(basis, pk.pk1, u), e2)
-    return NarrowCiphertext(c0=c0, c1=c1, params=params)
+    return NarrowCiphertext(c0=c0, c1=c1, params=params,
+                            c0c=to_coeff_residues32(basis, c0),
+                            c1c=to_coeff_residues32(basis, c1))
 
 
 def dbfv_encrypt(key, values, pk: NarrowPublicKey,
@@ -502,9 +518,13 @@ def _narrow_hps_consts(moduli: tuple, aux_moduli: tuple, p: int):
     return c
 
 
-def _extend_to_aux(params: NarrowParams, poly):
-    """EXACT centered base extension Q -> aux primes for a narrow poly."""
-    res = to_coeff_residues32(params.ct_basis, poly)
+def _extend_to_aux(params: NarrowParams, poly, res=None):
+    """EXACT centered base extension Q -> aux primes for a narrow poly.
+
+    `res` (standard-form coefficient residues, e.g. a ciphertext's coeff
+    shadow) skips the INTT."""
+    if res is None:
+        res = to_coeff_residues32(params.ct_basis, poly)
     x = _compose_pair(params, res)  # u64 pair in [0, Q)
     cst = _narrow_hps_consts(params.moduli, params.aux_moduli,
                              params.plain_modulus)
@@ -522,8 +542,12 @@ def _extend_to_aux(params: NarrowParams, poly):
     return from_coeff_residues32(auxb, out)
 
 
-def _narrow_hps_scale(params: NarrowParams, t_q, t_p):
-    """round(p * t / Q) mod q_i from (t mod Q, t mod P); all-exact glue."""
+def _narrow_hps_scale(params: NarrowParams, t_q, t_p, eval_out=True):
+    """round(p * t / Q) mod q_i from (t mod Q, t mod P); all-exact glue.
+
+    eval_out=False returns standard-form coefficient residues (skips the
+    output NTT — used for the c2 component, which feeds straight into the
+    coefficient-domain gadget decomposition)."""
     cst = _narrow_hps_consts(params.moduli, params.aux_moduli,
                              params.plain_modulus)
     ctb, auxb = params.ct_basis, params.aux_basis
@@ -605,12 +629,17 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p):
         r_signed = jnp.where(neg_a, w32.mod_neg32(r_mod, qs), r_mod)
         outs.append(w32.mod_add32(r_signed, pm, qs))
     out = jnp.stack(outs, axis=-2)
+    if not eval_out:
+        return out
     return from_coeff_residues32(ctb, out)
 
 
-def _gadget_digits32(params: NarrowParams, poly):
-    """Balanced power-of-two gadget digits of a narrow poly -> [.., D, L, n]."""
-    res = to_coeff_residues32(params.ct_basis, poly)
+def _gadget_digits32(params: NarrowParams, poly, res=None):
+    """Balanced power-of-two gadget digits of a narrow poly -> [.., D, L, n].
+
+    `res` (standard-form coefficient residues) skips the input INTT."""
+    if res is None:
+        res = to_coeff_residues32(params.ct_basis, poly)
     x = _compose_pair(params, res)
     B = params.gadget_base
     D = params.gadget_digits
@@ -643,12 +672,13 @@ def _gadget_digits32(params: NarrowParams, poly):
     return from_coeff_residues32(basis, digits)
 
 
-def relinearize32(ct: NarrowCiphertext, rlk: NarrowRelinKey) -> NarrowCiphertext:
-    if ct.c2 is None:
+def relinearize32(ct: NarrowCiphertext, rlk: NarrowRelinKey,
+                  c2_res=None) -> NarrowCiphertext:
+    if ct.c2 is None and c2_res is None:
         return ct
     params = ct.params
     basis = params.ct_basis
-    digits = _gadget_digits32(params, ct.c2)
+    digits = _gadget_digits32(params, ct.c2, res=c2_res)
     q, qi = basis.b1()
     prod0 = w32.mont_mul32(digits, rlk.rlk0, q, qi)  # [.., D, L, n]
     prod1 = w32.mont_mul32(digits, rlk.rlk1, q, qi)
@@ -703,12 +733,22 @@ def dbfv_decrypt(ct: NarrowDbfvCiphertext, sk: NarrowSecretKey):
     return int(vals) if vals.ndim == 0 else vals
 
 
+def _zip_shadow(op, basis, a, b):
+    """Combine coeff shadows when both sides have them (mod ops are domain-
+    agnostic, so the shadow of a+b is the sum of the shadows)."""
+    if a is None or b is None:
+        return None
+    return op(basis, a, b)
+
+
 def dbfv_add(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext):
     basis = ct1.params.bfv.ct_basis
     return NarrowDbfvCiphertext(
         limbs=NarrowCiphertext(
             c0=np_add(basis, ct1.limbs.c0, ct2.limbs.c0),
             c1=np_add(basis, ct1.limbs.c1, ct2.limbs.c1),
+            c0c=_zip_shadow(np_add, basis, ct1.limbs.c0c, ct2.limbs.c0c),
+            c1c=_zip_shadow(np_add, basis, ct1.limbs.c1c, ct2.limbs.c1c),
             params=ct1.params.bfv),
         mul_depth=max(ct1.mul_depth, ct2.mul_depth), params=ct1.params)
 
@@ -719,6 +759,8 @@ def dbfv_sub(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext):
         limbs=NarrowCiphertext(
             c0=np_sub(basis, ct1.limbs.c0, ct2.limbs.c0),
             c1=np_sub(basis, ct1.limbs.c1, ct2.limbs.c1),
+            c0c=_zip_shadow(np_sub, basis, ct1.limbs.c0c, ct2.limbs.c0c),
+            c1c=_zip_shadow(np_sub, basis, ct1.limbs.c1c, ct2.limbs.c1c),
             params=ct1.params.bfv),
         mul_depth=max(ct1.mul_depth, ct2.mul_depth), params=ct1.params)
 
@@ -726,9 +768,12 @@ def dbfv_sub(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext):
 def dbfv_neg(ct: NarrowDbfvCiphertext):
     basis = ct.params.bfv.ct_basis
     return NarrowDbfvCiphertext(
-        limbs=NarrowCiphertext(c0=np_neg(basis, ct.limbs.c0),
-                               c1=np_neg(basis, ct.limbs.c1),
-                               params=ct.params.bfv),
+        limbs=NarrowCiphertext(
+            c0=np_neg(basis, ct.limbs.c0),
+            c1=np_neg(basis, ct.limbs.c1),
+            c0c=None if ct.limbs.c0c is None else np_neg(basis, ct.limbs.c0c),
+            c1c=None if ct.limbs.c1c is None else np_neg(basis, ct.limbs.c1c),
+            params=ct.params.bfv),
         mul_depth=ct.mul_depth, params=ct.params)
 
 
@@ -752,7 +797,7 @@ def plain_add(ct: NarrowCiphertext, coeffs_u64: np.ndarray) -> NarrowCiphertext:
     q, qi = basis.b1()
     delta_m = w32.mont_mul32(m_poly, params.delta_mont[:, None], q, qi)
     return NarrowCiphertext(c0=np_add(basis, ct.c0, delta_m), c1=ct.c1,
-                            c2=ct.c2, params=params)
+                            c2=ct.c2, c1c=ct.c1c, params=params)
 
 
 # ---------------------------------------------------------------------------
@@ -867,8 +912,12 @@ def dbfv_div_by_base(ct: NarrowDbfvCiphertext) -> NarrowDbfvCiphertext:
 
     new_params = NarrowDbfvParams(base=base, num_digits=d,
                                   plain_modulus=new_p, bfv=bp)
+    # shift() is a form-agnostic mod-q linear map, so it applies to the
+    # coefficient shadows unchanged
+    sh = lambda c: None if c is None else shift(c)
     return NarrowDbfvCiphertext(
         limbs=NarrowCiphertext(c0=shift(ct.limbs.c0), c1=shift(ct.limbs.c1),
+                               c0c=sh(ct.limbs.c0c), c1c=sh(ct.limbs.c1c),
                                params=bp),
         mul_depth=ct.mul_depth, params=new_params)
 
@@ -914,8 +963,10 @@ def dbfv_change_base(ct: NarrowDbfvCiphertext, new_base: int,
 
     new_params = NarrowDbfvParams(base=new_base, num_digits=new_num_digits,
                                   plain_modulus=params.plain_modulus, bfv=bp)
+    ap = lambda c: None if c is None else apply(c)
     return NarrowDbfvCiphertext(
         limbs=NarrowCiphertext(c0=apply(ct.limbs.c0), c1=apply(ct.limbs.c1),
+                               c0c=ap(ct.limbs.c0c), c1c=ap(ct.limbs.c1c),
                                params=bp),
         mul_depth=ct.mul_depth, params=new_params)
 
@@ -955,10 +1006,10 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
 
     c10, c11 = ct1.limbs.c0, ct1.limbs.c1
     c20, c21 = ct2.limbs.c0, ct2.limbs.c1
-    e10 = _extend_to_aux(bp, c10)
-    e11 = _extend_to_aux(bp, c11)
-    e20 = _extend_to_aux(bp, c20)
-    e21 = _extend_to_aux(bp, c21)
+    e10 = _extend_to_aux(bp, c10, res=ct1.limbs.c0c)
+    e11 = _extend_to_aux(bp, c11, res=ct1.limbs.c1c)
+    e20 = _extend_to_aux(bp, c20, res=ct2.limbs.c0c)
+    e21 = _extend_to_aux(bp, c21, res=ct2.limbs.c1c)
 
     def kara(al, bl, q, qi):
         """Karatsuba limb convolution on python lists of eval-domain polys:
@@ -1029,10 +1080,12 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
 
     r0 = _narrow_hps_scale(bp, tq[0], tp[0])
     r1 = _narrow_hps_scale(bp, tq[1], tp[1])
-    r2 = _narrow_hps_scale(bp, tq[2], tp[2])
+    # c2 stays in coefficient form: it feeds straight into the gadget
+    # decomposition, skipping its output NTT and the gadget's input INTT.
+    r2_res = _narrow_hps_scale(bp, tq[2], tp[2], eval_out=False)
 
-    out = relinearize32(NarrowCiphertext(c0=r0, c1=r1, c2=r2, params=bp),
-                        rlk)
+    out = relinearize32(NarrowCiphertext(c0=r0, c1=r1, params=bp), rlk,
+                        c2_res=r2_res)
     return NarrowDbfvCiphertext(limbs=out,
                                 mul_depth=max(ct1.mul_depth, ct2.mul_depth) + 1,
                                 params=params)

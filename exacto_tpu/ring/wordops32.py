@@ -132,8 +132,9 @@ def build_psi_tables32(q: int, n: int) -> dict:
         e = hm.bit_reverse(i, logn)
         psi_rev[i] = pow(psi, e, q) * R % q
         ipsi_rev[i] = pow(ipsi, e, q) * R % q
-    ninv = hm.mod_inv(n, q) * R % q
-    return {"psi_rev": psi_rev, "ipsi_rev": ipsi_rev, "ninv": np.uint32(ninv)}
+    ninv = hm.mod_inv(n, q)
+    return {"psi_rev": psi_rev, "ipsi_rev": ipsi_rev,
+            "ninv": np.uint32(ninv * R % q), "ninv_std": np.uint32(ninv)}
 
 
 def ntt_fwd32(x, psi_rev, q, qinv):
@@ -157,7 +158,13 @@ def ntt_fwd32(x, psi_rev, q, qinv):
 
 
 def ntt_inv32(x, ipsi_rev, ninv, q, qinv):
-    """Inverse NTT on uint32 [..., L, n]."""
+    """Inverse NTT on uint32 [..., L, n].
+
+    `ninv` in Montgomery form keeps the output in the input's domain
+    (Montgomery in, Montgomery out); passing plain n^{-1} mod q (standard
+    form) fuses the from-Montgomery conversion into the final multiply for
+    free: mont_mul(x*R, n^{-1}) = x*n^{-1} in standard form.
+    """
     n = x.shape[-1]
     L = x.shape[-2]
     batch = x.shape[:-2]
