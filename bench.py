@@ -27,7 +27,7 @@ def main():
     import jax
 
     quick = "--quick" in sys.argv
-    batch = int(os.environ.get("BENCH_BATCH", "16" if quick else "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "16" if quick else "256"))
     iters = 2 if quick else 5
 
     if os.environ.get("BENCH_NARROW", "1") not in ("0", "false"):

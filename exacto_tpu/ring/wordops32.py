@@ -63,16 +63,28 @@ def mul32_full(a, b):
     return lo, hi
 
 
+def mulhi32(a, b):
+    """High word of the 32x32 product only (skips the lo assembly)."""
+    a0 = a & _MASK16
+    a1 = a >> 16
+    b0 = b & _MASK16
+    b1 = b >> 16
+    mid1 = a1 * b0 + ((a0 * b0) >> 16)
+    mid2 = a0 * b1 + (mid1 & _MASK16)
+    return a1 * b1 + (mid1 >> 16) + (mid2 >> 16)
+
+
 def mont_mul32(a, b, q, qinv_neg):
-    """a * b * 2^{-32} mod q for a, b < q < 2^31."""
+    """a * b * 2^{-32} mod q for a, b < q < 2^31.
+
+    REDC shortcut: t + m*q == 0 mod 2^32 by construction, so the low-word
+    sum is exactly 0 with carry-out iff t_lo != 0 — no need to compute
+    (m*q)_lo at all.
+    """
     q, qinv_neg = _u32(q), _u32(qinv_neg)
     t_lo, t_hi = mul32_full(a, b)
     m = t_lo * qinv_neg  # mod 2^32
-    mq_lo, mq_hi = mul32_full(m, q)
-    # u = (t + m*q) >> 32; low 32 bits cancel, carry = (t_lo + mq_lo) >> 32
-    s = t_lo + mq_lo
-    carry = (s < t_lo).astype(U32)
-    u = t_hi + mq_hi + carry  # < 2q < 2^32
+    u = t_hi + mulhi32(m, q) + (t_lo != 0).astype(U32)  # < 2q < 2^32
     return jnp.where(u >= q, u - q, u)
 
 
@@ -97,13 +109,10 @@ def to_mont32(a, q, qinv_neg, r2):
 
 
 def from_mont32(a, q, qinv_neg):
-    """REDC of a single word: a * 2^{-32} mod q."""
+    """REDC of a single word: a * 2^{-32} mod q (same carry shortcut)."""
     q, qinv_neg = _u32(q), _u32(qinv_neg)
     m = a * qinv_neg
-    mq_lo, mq_hi = mul32_full(m, q)
-    s = a + mq_lo
-    carry = (s < a).astype(U32)
-    u = mq_hi + carry
+    u = mulhi32(m, q) + (a != 0).astype(U32)
     return jnp.where(u >= q, u - q, u)
 
 
