@@ -1,0 +1,178 @@
+"""Phase-level timing of the narrow dBFV multiply on the current backend.
+
+Times each phase of nr._dbfv_mul_impl separately (jitted, best-of-5) so
+optimization effort goes where the milliseconds are.  Phases are staged the
+same way the fused multiply runs them; per-phase times won't sum exactly to
+the fused step (XLA fuses across phases) but the ranking is what matters.
+
+Usage: python profile_narrow.py [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def bench(fn, *args, iters=10):
+    """Pipelined timing: enqueue `iters` calls, block once.  Per-dispatch
+    send cost overlaps device execution, so total/iters ~= device time
+    (a lone blocking call would include the ~30ms transport round trip)."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / iters, outs[-1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    args = ap.parse_args()
+    B = args.batch
+
+    import jax
+    import jax.numpy as jnp
+
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.ring import wordops32 as w32
+
+    n = 4096
+    params = nr.u64_dbfv_fast(n)
+    bp = params.bfv
+    d = params.num_digits
+    ctb, auxb = bp.ct_basis, bp.aux_basis
+
+    sk = jax.jit(lambda k: nr.gen_secret_key(k, bp))(jax.random.PRNGKey(1))
+    rlk = jax.jit(lambda k: nr.gen_relin_key(k, sk))(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 63, size=B, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=B, dtype=np.uint64) * 2 + 1
+    ct1 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(3), a, sk, params)
+    ct2 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(4), b, sk, params)
+
+    print(f"batch={B} d={d} n={n} L_ct={ctb.num_moduli} L_aux={auxb.num_moduli}")
+
+    # full step
+    mul = jax.jit(lambda x, y, r: nr.dbfv_mul(x, y, r))
+    t, out = bench(mul, ct1, ct2, rlk)
+    print(f"full multiply        {t*1e3:8.2f} ms   ({B/t:.0f} ops/s)")
+
+    # phase 1: base extension x4
+    ext = jax.jit(lambda c: [
+        nr._extend_to_aux(bp, c.limbs.c0, res=c.limbs.c0c),
+        nr._extend_to_aux(bp, c.limbs.c1, res=c.limbs.c1c)])
+    t, (e10, e11) = bench(ext, ct1)
+    print(f"extend_to_aux x2     {t*1e3:8.2f} ms")
+    _, (e20, e21) = bench(ext, ct2)
+
+    # phase 2: tensor products (Karatsuba limb conv, both bases)
+    def tensor_all(c10, c11, c20, c21, f10, f11, f20, f21):
+        impl = nr._dbfv_mul_impl
+        # rebuild the internal helpers by calling through a tiny closure:
+        # replicate tensor3 via the module funcs
+        q_ct = ctb.q.reshape(-1, 1)
+        q_aux = auxb.q.reshape(-1, 1)
+
+        def kara(al, bl, q, qi):
+            da = len(al)
+            if da == 1 or da % 2 or len(bl) != da:
+                out = [None] * (da + len(bl) - 1)
+                for i, ai in enumerate(al):
+                    for j, bj in enumerate(bl):
+                        t = w32.mont_mul32(ai, bj, q, qi)
+                        out[i + j] = t if out[i + j] is None \
+                            else w32.mod_add32(out[i + j], t, q)
+                return out
+            h = da // 2
+            z0 = kara(al[:h], bl[:h], q, qi)
+            z2 = kara(al[h:], bl[h:], q, qi)
+            asum = [w32.mod_add32(x, y, q) for x, y in zip(al[:h], al[h:])]
+            bsum = [w32.mod_add32(x, y, q) for x, y in zip(bl[:h], bl[h:])]
+            z1 = kara(asum, bsum, q, qi)
+            for i in range(len(z0)):
+                z1[i] = w32.mod_sub32(z1[i], z0[i], q)
+            for i in range(len(z2)):
+                z1[i] = w32.mod_sub32(z1[i], z2[i], q)
+            out = [None] * (2 * da - 1)
+            for i, v in enumerate(z0):
+                out[i] = v
+            for i, v in enumerate(z1):
+                j = i + h
+                out[j] = v if out[j] is None else w32.mod_add32(out[j], v, q)
+            for i, v in enumerate(z2):
+                j = i + 2 * h
+                out[j] = v if out[j] is None else w32.mod_add32(out[j], v, q)
+            return out
+
+        def conv(basis, x, y):
+            q, qi = basis.b1()
+            xl = [x[..., i, :, :] for i in range(d)]
+            yl = [y[..., i, :, :] for i in range(d)]
+            return jnp.stack(kara(xl, yl, q, qi), axis=-3)
+
+        def t3(basis, a0, a1, b0, b1):
+            q = basis.q.reshape(-1, 1)
+            t0 = conv(basis, a0, b0)
+            t2 = conv(basis, a1, b1)
+            tm = conv(basis, w32.mod_add32(a0, a1, q),
+                      w32.mod_add32(b0, b1, q))
+            t1 = w32.mod_sub32(w32.mod_sub32(tm, t0, q), t2, q)
+            return t0, t1, t2
+
+        return t3(ctb, c10, c11, c20, c21), t3(auxb, f10, f11, f20, f21)
+
+    tens = jax.jit(tensor_all)
+    t, (tq, tp) = bench(tens, ct1.limbs.c0, ct1.limbs.c1,
+                        ct2.limbs.c0, ct2.limbs.c1, e10, e11, e20, e21)
+    print(f"tensor products      {t*1e3:8.2f} ms")
+
+    # fold: for p=2^64 all reps are 0, so just truncate
+    tq = tuple(x[..., :d, :, :] for x in tq)
+    tp = tuple(x[..., :d, :, :] for x in tp)
+
+    # phase 3: HPS scale x3
+    hps = jax.jit(lambda a_, b_: nr._narrow_hps_scale(bp, a_, b_))
+    t, r0 = bench(hps, tq[0], tp[0])
+    print(f"hps_scale (x1 of 3)  {t*1e3:8.2f} ms")
+    hps_res = jax.jit(lambda a_, b_: nr._narrow_hps_scale(bp, a_, b_,
+                                                          eval_out=False))
+    t, r2res = bench(hps_res, tq[2], tp[2])
+    print(f"hps_scale no-NTT-out {t*1e3:8.2f} ms")
+    _, r1 = bench(hps, tq[1], tp[1])
+
+    # phase 4: relinearize (gadget + keyswitch)
+    rel = jax.jit(lambda r0_, r1_, res, rk: nr.relinearize32(
+        nr.NarrowCiphertext(c0=r0_, c1=r1_, params=bp), rk, c2_res=res))
+    t, _ = bench(rel, r0, r1, r2res, rlk)
+    print(f"relinearize          {t*1e3:8.2f} ms")
+
+    # micro: one NTT sweep each basis at the multiply's shapes
+    x_ct = ct1.limbs.c0
+    fwd_ct = jax.jit(lambda x: w32.ntt_fwd32(x, ctb.psi_rev, ctb.q, ctb.qinv))
+    t, _ = bench(fwd_ct, x_ct)
+    print(f"1 fwd NTT ct  [B,{d},2,{n}]  {t*1e3:8.2f} ms")
+    inv_ct = jax.jit(lambda x: w32.ntt_inv32(x, ctb.ipsi_rev, ctb.ninv_std,
+                                             ctb.q, ctb.qinv))
+    t, _ = bench(inv_ct, x_ct)
+    print(f"1 inv NTT ct  [B,{d},2,{n}]  {t*1e3:8.2f} ms")
+    x_aux = e10
+    fwd_aux = jax.jit(lambda x: w32.ntt_fwd32(x, auxb.psi_rev, auxb.q,
+                                              auxb.qinv))
+    t, _ = bench(fwd_aux, x_aux)
+    print(f"1 fwd NTT aux [B,{d},3,{n}]  {t*1e3:8.2f} ms")
+
+    # micro: one mont_mul over the ct tensor
+    mm = jax.jit(lambda x, y: w32.mont_mul32(x, y, ctb.q.reshape(-1, 1),
+                                             ctb.qinv.reshape(-1, 1)))
+    t, _ = bench(mm, x_ct, x_ct)
+    print(f"1 mont_mul ct tensor {t*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
