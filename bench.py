@@ -133,8 +133,10 @@ def main_narrow(quick, batch, iters):
     ops = batch / best
 
     def take0(tree):
+        # narrow layout is [d, batch, L, n]: batch is axis 1
         return jax.tree_util.tree_map(
-            lambda x: x[0] if hasattr(x, "ndim") and x.ndim >= 4 else x, tree)
+            lambda x: x[:, :1] if hasattr(x, "ndim") and x.ndim >= 4 else x,
+            tree)
 
     ok = True
     try:

@@ -404,20 +404,8 @@ def encrypt_pk(key, coeffs_u64: np.ndarray, pk: NarrowPublicKey,
 
 def dbfv_encrypt(key, values, pk: NarrowPublicKey,
                  params: "NarrowDbfvParams") -> "NarrowDbfvCiphertext":
-    """Public-key dBFV encryption over the narrow basis."""
-    from .dbfv.decomposition import digit_decompose
-
-    d = params.num_digits
-    n = params.bfv.ring_degree
-    arr = np.asarray(values, dtype=np.uint64)
-    out = np.zeros(arr.shape + (d, n), dtype=np.uint64)
-    flat = arr.reshape(-1)
-    o = out.reshape(-1, d, n)
-    mod = params.effective_plain_modulus
-    for idx, v in enumerate(flat):
-        for i, dig in enumerate(digit_decompose(int(v) % mod, params.base, d)):
-            o[idx, i, 0] = dig
-    limbs = encrypt_pk(key, out, pk)
+    """Public-key dBFV encryption over the narrow basis (limb axis leading)."""
+    limbs = encrypt_pk(key, _digit_polys(values, params), pk)
     return NarrowDbfvCiphertext(limbs=limbs, mul_depth=0, params=params)
 
 
@@ -699,34 +687,45 @@ def relinearize32(ct: NarrowCiphertext, rlk: NarrowRelinKey,
 
 @flax.struct.dataclass
 class NarrowDbfvCiphertext:
-    limbs: NarrowCiphertext = None  # limb axis at -3 of c0/c1
+    """dBFV ciphertext with the digit-limb axis LEADING: c0/c1 are
+    [d, *batch, L, n].  A leading limb axis keeps each limb a contiguous
+    slab, which the fused tensor-product kernel (ops/limbconv_pallas)
+    depends on — limb slices along the sublane axis lower to per-vreg
+    shuffles and measured 4.6x slower."""
+
+    limbs: NarrowCiphertext = None  # limb axis at 0 of c0/c1
     mul_depth: int = flax.struct.field(pytree_node=False, default=0)
     params: NarrowDbfvParams = None
 
 
-def dbfv_encrypt_sk(key, values, sk: NarrowSecretKey,
-                    params: NarrowDbfvParams) -> NarrowDbfvCiphertext:
+def _digit_polys(values, params: NarrowDbfvParams) -> np.ndarray:
+    """Host decompose: values [*batch] u64 -> [d, *batch, n] digit polys."""
     from .dbfv.decomposition import digit_decompose
 
     d = params.num_digits
     n = params.bfv.ring_degree
     arr = np.asarray(values, dtype=np.uint64)
-    out = np.zeros(arr.shape + (d, n), dtype=np.uint64)
+    out = np.zeros((d,) + arr.shape + (n,), dtype=np.uint64)
     flat = arr.reshape(-1)
-    o = out.reshape(-1, d, n)
+    o = out.reshape(d, -1, n)
     mod = params.effective_plain_modulus
     for idx, v in enumerate(flat):
         for i, dig in enumerate(digit_decompose(int(v) % mod, params.base, d)):
-            o[idx, i, 0] = dig
-    limbs = encrypt_sk(key, out, sk)
+            o[i, idx, 0] = dig
+    return out
+
+
+def dbfv_encrypt_sk(key, values, sk: NarrowSecretKey,
+                    params: NarrowDbfvParams) -> NarrowDbfvCiphertext:
+    limbs = encrypt_sk(key, _digit_polys(values, params), sk)
     return NarrowDbfvCiphertext(limbs=limbs, mul_depth=0, params=params)
 
 
 def dbfv_decrypt(ct: NarrowDbfvCiphertext, sk: NarrowSecretKey):
     from .dbfv.decomposition import poly_digit_recompose_signed
 
-    digits = decrypt(ct.limbs, sk)
-    const_terms = digits[..., :1]
+    digits = decrypt(ct.limbs, sk)  # [d, *batch, n]
+    const_terms = np.moveaxis(np.asarray(digits)[..., :1], 0, -2)
     vals = poly_digit_recompose_signed(const_terms, ct.params.base,
                                        ct.params.plain_modulus,
                                        ct.params.bfv.plain_modulus)[..., 0]
@@ -882,7 +881,7 @@ def dbfv_div_by_base(ct: NarrowDbfvCiphertext) -> NarrowDbfvCiphertext:
     """phi_b: divide plaintext and modulus by b (reference advanced.rs:36-93).
 
     c(B) = c0 + B*c~(B) -> c0 * b^{-1} mod t folded into limb 1, limbs shift
-    down; requires b | p.  Limb axis is -3 of c0/c1.
+    down; requires b | p.  Limb axis is 0 of c0/c1.
     """
     params = ct.params
     bp = params.bfv
@@ -898,17 +897,16 @@ def dbfv_div_by_base(ct: NarrowDbfvCiphertext) -> NarrowDbfvCiphertext:
     binv = hm.mod_inv(base % t, t)
 
     def shift(c):
-        c0_div = _scalar_mul_ct(bp, c[..., 0, :, :], binv)
+        c0_div = _scalar_mul_ct(bp, c[0], binv)
         limbs = []
         if d >= 2:
-            limbs.append(w32.mod_add32(c[..., 1, :, :], c0_div,
+            limbs.append(w32.mod_add32(c[1], c0_div,
                                        bp.ct_basis.q.reshape(-1, 1)))
         else:
             limbs.append(c0_div)
         for i in range(1, d):
-            limbs.append(c[..., i + 1, :, :] if i + 1 < d
-                         else jnp.zeros_like(c[..., 0, :, :]))
-        return jnp.stack(limbs, axis=-3)
+            limbs.append(c[i + 1] if i + 1 < d else jnp.zeros_like(c[0]))
+        return jnp.stack(limbs, axis=0)
 
     new_params = NarrowDbfvParams(base=base, num_digits=d,
                                   plain_modulus=new_p, bfv=bp)
@@ -951,15 +949,15 @@ def dbfv_change_base(ct: NarrowDbfvCiphertext, new_base: int,
     def apply(c):
         limbs = []
         for j in range(new_num_digits):
-            acc = jnp.zeros_like(c[..., 0, :, :])
+            acc = jnp.zeros_like(c[0])
             for i in range(old_d):
                 coeff = transform[j][i]
                 if coeff == 0:
                     continue
                 acc = w32.mod_add32(
-                    acc, _scalar_mul_ct(bp, c[..., i, :, :], coeff), q)
+                    acc, _scalar_mul_ct(bp, c[i], coeff), q)
             limbs.append(acc)
-        return jnp.stack(limbs, axis=-3)
+        return jnp.stack(limbs, axis=0)
 
     new_params = NarrowDbfvParams(base=new_base, num_digits=new_num_digits,
                                   plain_modulus=params.plain_modulus, bfv=bp)
@@ -973,19 +971,19 @@ def dbfv_change_base(ct: NarrowDbfvCiphertext, new_base: int,
 
 def _fold_eval(basis, x, reps, d):
     """Degree reduction IN THE EVAL DOMAIN: fold limbs j >= d of a
-    [..., 2d-1, L, n] tensor back into the first d limbs with the SmallReps
-    integer coefficients.  Valid on any RNS basis (the fold is an integer
-    linear map over the limb axis, so it commutes with NTT, HPS scaling and
-    relinearization); applying it BEFORE the HPS scale + relin cuts their
-    limb count from 2d-1 to d and incurs one rounding error per output limb
-    instead of |rep| of them (reference folds per-product post-scale,
-    reduction.rs:15-60)."""
+    [2d-1, ..., L, n] tensor (limb axis leading) back into the first d limbs
+    with the SmallReps integer coefficients.  Valid on any RNS basis (the
+    fold is an integer linear map over the limb axis, so it commutes with
+    NTT, HPS scaling and relinearization); applying it BEFORE the HPS scale
+    + relin cuts their limb count from 2d-1 to d and incurs one rounding
+    error per output limb instead of |rep| of them (reference folds
+    per-product post-scale, reduction.rs:15-60)."""
     q, qi = basis.b1()
-    acc = [x[..., i, :, :] for i in range(d)]
-    nlimbs = x.shape[-3]
+    acc = [x[i] for i in range(d)]
+    nlimbs = x.shape[0]
     for j in range(d, nlimbs):
         rep = reps[j - d]
-        limb = x[..., j, :, :]
+        limb = x[j]
         for i in range(d):
             coeff = int(rep[i])
             if coeff == 0:
@@ -994,7 +992,7 @@ def _fold_eval(basis, x, reps, d):
                          dtype=np.uint64).astype(np.uint32)
             scaled = w32.mont_mul32(limb, jnp.asarray(s)[:, None], q, qi)
             acc[i] = w32.mod_add32(acc[i], scaled, q)
-    return jnp.stack(acc, axis=-3)
+    return jnp.stack(acc, axis=0)
 
 
 def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
@@ -1048,11 +1046,12 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
 
     def conv_limbs(basis, a, b):
         """Limb-axis negacyclic-free convolution (anti-diagonal sums) via
-        Karatsuba; the [d, d] product grid is never materialized."""
+        Karatsuba; the [d, d] product grid is never materialized.  Limb
+        axis leading: a, b are [d, ..., L, n]."""
         q, qi = basis.b1()
-        al = [a[..., i, :, :] for i in range(d)]
-        bl = [b[..., i, :, :] for i in range(d)]
-        return jnp.stack(kara(al, bl, q, qi), axis=-3)
+        al = [a[i] for i in range(d)]
+        bl = [b[i] for i in range(d)]
+        return jnp.stack(kara(al, bl, q, qi), axis=0)
 
     def tensor3(basis, a0, a1, b0, b1):
         """Degree-2 tensor with the Karatsuba identity: t1 = (a0+a1)(b0+b1)
@@ -1065,9 +1064,6 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
         t1 = w32.mod_sub32(w32.mod_sub32(tm, t0, q), t2, q)
         return t0, t1, t2
 
-    tq = tensor3(ctb, c10, c11, c20, c21)
-    tp = tensor3(auxb, e10, e11, e20, e21)
-
     # degree reduction BEFORE the HPS scale: 2d-1 -> d limbs in eval domain
     # on both bases (see _fold_eval); the scale, relin and keyswitch then run
     # on d limbs instead of 2d-1.
@@ -1075,8 +1071,25 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
 
     reps = SmallReps.compute_simple(params.base, d,
                                     params.plain_modulus).reps
-    tq = tuple(_fold_eval(ctb, t, reps, d) for t in tq)
-    tp = tuple(_fold_eval(auxb, t, reps, d) for t in tp)
+    reps_t = tuple(tuple(int(c) for c in rep) for rep in reps)
+
+    from .ops import limbconv_pallas as lcp
+
+    if (_config.pallas_limbconv_enabled() and lcp.supported(bp.ring_degree)
+            and d % 2 == 0):
+        interp = jax.default_backend() != "tpu"
+        tq = lcp.tensor3_fused(c10, c11, c20, c21, ctb.moduli, reps=reps_t,
+                               interpret=interp)
+        tp = lcp.tensor3_fused(e10, e11, e20, e21, auxb.moduli, reps=reps_t,
+                               interpret=interp)
+        if tq[0].shape[0] != d:  # nonzero reps: fold outside the kernel
+            tq = tuple(_fold_eval(ctb, t, reps, d) for t in tq)
+            tp = tuple(_fold_eval(auxb, t, reps, d) for t in tp)
+    else:
+        tq = tensor3(ctb, c10, c11, c20, c21)
+        tp = tensor3(auxb, e10, e11, e20, e21)
+        tq = tuple(_fold_eval(ctb, t, reps, d) for t in tq)
+        tp = tuple(_fold_eval(auxb, t, reps, d) for t in tp)
 
     r0 = _narrow_hps_scale(bp, tq[0], tp[0])
     r1 = _narrow_hps_scale(bp, tq[1], tp[1])

@@ -36,26 +36,38 @@ def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:
     return Mesh(dev_array, names)
 
 
+def _is_narrow_dbfv(tree) -> bool:
+    """Narrow dBFV ciphertexts carry the limb axis LEADING ([d, batch, L, n],
+    see narrow.NarrowDbfvCiphertext); wide ones carry batch leading."""
+    from ..narrow import NarrowDbfvCiphertext
+
+    return isinstance(tree, NarrowDbfvCiphertext)
+
+
 def batch_spec(tree, mesh: Mesh, axis_name: str = "batch",
                min_batch_ndim: int | None = None):
-    """Shardings placing the LEADING axis of polynomial leaves on `axis_name`.
+    """Shardings placing the batch axis of polynomial leaves on `axis_name`.
 
-    Ciphertext pytrees mix batched polynomial data ([batch, ..., L, n]) with
-    replicated parameter tables (twiddles [L, n], constants [L]); leaves with
-    ndim >= min_batch_ndim are treated as batched polys, the rest replicated.
+    Ciphertext pytrees mix batched polynomial data with replicated parameter
+    tables (twiddles [L, n], constants [L]); leaves with ndim >=
+    min_batch_ndim are treated as batched polys, the rest replicated.
     min_batch_ndim defaults to 3 for BfvCiphertext ([batch, L, n]) and 4 for
-    DbfvCiphertext ([batch, d, L, n]).
+    DbfvCiphertext ([batch, d, L, n]) / NarrowDbfvCiphertext ([d, batch, L,
+    n] — limb axis leading, so the batch axis is axis 1 there).
     """
+    narrow = _is_narrow_dbfv(tree)
     if min_batch_ndim is None:
         from ..dbfv.ciphertext import DbfvCiphertext
-        from ..narrow import NarrowDbfvCiphertext
 
-        min_batch_ndim = 4 if isinstance(
-            tree, (DbfvCiphertext, NarrowDbfvCiphertext)) else 3
+        min_batch_ndim = 4 if narrow or isinstance(
+            tree, DbfvCiphertext) else 3
 
     def spec_for(leaf):
         ndim = np.ndim(leaf)
         if ndim >= min_batch_ndim:
+            if narrow and ndim >= 4:
+                return NamedSharding(
+                    mesh, P(None, axis_name, *([None] * (ndim - 2))))
             return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
         return NamedSharding(mesh, P())
 
@@ -65,16 +77,21 @@ def batch_spec(tree, mesh: Mesh, axis_name: str = "batch",
 def batch_limb_spec(tree, mesh: Mesh, batch_axis: str = "batch",
                     limb_axis: str = "limb"):
     """Shardings for dBFV ciphertexts on a 2D mesh: the ciphertext batch on
-    `batch_axis` AND the digit-limb axis on `limb_axis` ([batch, d, L, n]
-    leaves get P(batch, limb)).  The d^2 digit convolution then reduces
-    partial products across the limb axis — XLA lowers that to psum/
-    all-gather over ICI, the mesh analogue of the reference's rayon
-    fan-out over digit products (dbfv/eval.rs:117)."""
+    `batch_axis` AND the digit-limb axis on `limb_axis` (wide [batch, d, L,
+    n] leaves get P(batch, limb); narrow [d, batch, L, n] leaves get
+    P(limb, batch)).  The d^2 digit convolution then reduces partial
+    products across the limb axis — XLA lowers that to psum/all-gather over
+    ICI, the mesh analogue of the reference's rayon fan-out over digit
+    products (dbfv/eval.rs:117)."""
+    narrow = _is_narrow_dbfv(tree)
+
     def spec_for(leaf):
         ndim = np.ndim(leaf)
         if ndim >= 4:
+            first, second = ((limb_axis, batch_axis) if narrow
+                             else (batch_axis, limb_axis))
             return NamedSharding(
-                mesh, P(batch_axis, limb_axis, *([None] * (ndim - 2))))
+                mesh, P(first, second, *([None] * (ndim - 2))))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(spec_for, tree)
