@@ -54,8 +54,18 @@ class NarrowBasis:
     ninv: jnp.ndarray = None     # [L] u32  (n^{-1} in Montgomery form)
     ninv_std: jnp.ndarray = None # [L] u32  (n^{-1} standard form; fuses
                                  #           from-Montgomery into the INTT)
-    psi_rev: jnp.ndarray = None  # [L, n] u32
+    psi_rev: jnp.ndarray = None  # [L, n] u32 (Montgomery form)
     ipsi_rev: jnp.ndarray = None # [L, n] u32
+    # standard-form twiddles + Shoup companions (floor(w*2^32/q)):
+    # butterflies multiply by constants, so the 3-mul Shoup product replaces
+    # 4-mul Montgomery in the NTTs (Shoup has no R^{-1}, hence std form)
+    psi_std: jnp.ndarray = None     # [L, n] u32
+    ipsi_std: jnp.ndarray = None    # [L, n] u32
+    psi_shoup: jnp.ndarray = None   # [L, n] u32
+    ipsi_shoup: jnp.ndarray = None  # [L, n] u32
+    ninv_fuse: jnp.ndarray = None   # [L] u32 (n^{-1} R^{-1}: Shoup-fused
+                                    #          from-Montgomery final stage)
+    ninv_fuse_shoup: jnp.ndarray = None
 
     @classmethod
     def create(cls, moduli, n: int) -> "NarrowBasis":
@@ -78,6 +88,12 @@ class NarrowBasis:
             ninv_std=u32a([t["ninv_std"] for t in tabs]),
             psi_rev=jnp.asarray(np.stack([t["psi_rev"] for t in tabs])),
             ipsi_rev=jnp.asarray(np.stack([t["ipsi_rev"] for t in tabs])),
+            psi_std=jnp.asarray(np.stack([t["psi_std"] for t in tabs])),
+            ipsi_std=jnp.asarray(np.stack([t["ipsi_std"] for t in tabs])),
+            psi_shoup=jnp.asarray(np.stack([t["psi_shoup"] for t in tabs])),
+            ipsi_shoup=jnp.asarray(np.stack([t["ipsi_shoup"] for t in tabs])),
+            ninv_fuse=u32a([t["ninv_fuse"] for t in tabs]),
+            ninv_fuse_shoup=u32a([t["ninv_fuse_shoup"] for t in tabs]),
         )
 
     @property
@@ -222,7 +238,8 @@ def from_coeff_residues32(basis, x):
                                     interpret=jax.default_backend() != "tpu")
     q, qi = basis.b1()
     xm = w32.to_mont32(x, q, qi, basis.r2.reshape(-1, 1))
-    return w32.ntt_fwd32(xm, basis.psi_rev, basis.q, basis.qinv)
+    return w32.ntt_fwd32(xm, basis.psi_std, basis.q, basis.qinv,
+                         psi_shoup=basis.psi_shoup)
 
 
 def to_coeff_residues32(basis, x):
@@ -232,9 +249,10 @@ def to_coeff_residues32(basis, x):
 
         return npal.ntt_inv32_fused(x, basis.moduli, from_mont=True,
                                     interpret=jax.default_backend() != "tpu")
-    # standard-form n^{-1} in the final multiply fuses from-Montgomery in
-    return w32.ntt_inv32(x, basis.ipsi_rev, basis.ninv_std, basis.q,
-                         basis.qinv)
+    # the final multiply fuses from-Montgomery in (Shoup form: n^{-1} R^{-1})
+    return w32.ntt_inv32(x, basis.ipsi_std, basis.ninv_fuse, basis.q,
+                         basis.qinv, ipsi_shoup=basis.ipsi_shoup,
+                         ninv_shoup=basis.ninv_fuse_shoup)
 
 
 def from_signed32(basis, v):

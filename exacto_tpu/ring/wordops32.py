@@ -80,6 +80,25 @@ def mont_mul32(a, b, q, qinv_neg):
     return jnp.where(u >= q, u - q, u)
 
 
+def shoup_mul32(v, w, w_shoup, q):
+    """v * w mod q for CONSTANT w with precomputed w_shoup = floor(w*2^32/q).
+
+    Three mul-units (one mulhi + two native low mults) vs Montgomery's four:
+    r = v*w - floor(v*w_shoup/2^32)*q lies in [0, 2q) (Shoup/Harvey), one
+    conditional subtract normalizes.  Only valid when w is a fixed operand
+    (twiddles, keys, scalar tables) — w_shoup is per-w precompute.
+    """
+    q = _u32(q)
+    hi = mulhi32(v, w_shoup)
+    r = v * w - hi * q  # exact mod 2^32; true value < 2q
+    return jnp.where(r >= q, r - q, r)
+
+
+def shoup_const32(w: int, q: int) -> int:
+    """Host precompute floor(w * 2^32 / q) for shoup_mul32."""
+    return (int(w) << 32) // int(q)
+
+
 def mod_add32(a, b, q):
     q = _u32(q)
     s = a + b  # < 2q < 2^32
@@ -122,24 +141,52 @@ def reduce_u64_pair32(lo, hi, q, qinv_neg, r1, r2):
 # ---------------------------------------------------------------------------
 
 def build_psi_tables32(q: int, n: int) -> dict:
-    """Montgomery-form twiddles as uint32 (R = 2^32)."""
+    """Montgomery-form twiddles as uint32 (R = 2^32), plus their Shoup
+    companions (floor(w*2^32/q)) — butterflies multiply by constants, so the
+    3-mul Shoup product replaces the 4-mul Montgomery one."""
     logn = n.bit_length() - 1
     psi = hm.psi_2n(q, n)
     ipsi = hm.mod_inv(psi, q)
     R = 1 << 32
     psi_rev = np.zeros(n, dtype=np.uint32)
     ipsi_rev = np.zeros(n, dtype=np.uint32)
+    psi_std = np.zeros(n, dtype=np.uint32)
+    ipsi_std = np.zeros(n, dtype=np.uint32)
+    psi_sh = np.zeros(n, dtype=np.uint32)
+    ipsi_sh = np.zeros(n, dtype=np.uint32)
     for i in range(n):
         e = hm.bit_reverse(i, logn)
-        psi_rev[i] = pow(psi, e, q) * R % q
-        ipsi_rev[i] = pow(ipsi, e, q) * R % q
+        w = pow(psi, e, q)
+        iw = pow(ipsi, e, q)
+        psi_rev[i] = w * R % q
+        ipsi_rev[i] = iw * R % q
+        # Shoup products have no REDC R^{-1}, so their twiddles are the
+        # STANDARD-form values (Montgomery-domain data stays Montgomery)
+        psi_std[i] = w
+        ipsi_std[i] = iw
+        psi_sh[i] = (w << 32) // q
+        ipsi_sh[i] = (iw << 32) // q
     ninv = hm.mod_inv(n, q)
+    # final-stage constants: mont_mul by ninv_std both inverts n and strips
+    # the Montgomery factor (REDC's R^{-1}); the Shoup product has no R^{-1},
+    # so its fused constant is n^{-1} * R^{-1} mod q instead.
+    ninv_fuse = ninv * hm.mod_inv(R % q, q) % q
     return {"psi_rev": psi_rev, "ipsi_rev": ipsi_rev,
-            "ninv": np.uint32(ninv * R % q), "ninv_std": np.uint32(ninv)}
+            "psi_std": psi_std, "ipsi_std": ipsi_std,
+            "psi_shoup": psi_sh, "ipsi_shoup": ipsi_sh,
+            "ninv": np.uint32(ninv * R % q), "ninv_std": np.uint32(ninv),
+            "ninv_fuse": np.uint32(ninv_fuse),
+            "ninv_fuse_shoup": np.uint32((ninv_fuse << 32) // q)}
 
 
-def ntt_fwd32(x, psi_rev, q, qinv):
-    """Forward NTT on uint32 [..., L, n]; psi_rev [L, n]; q/qinv [L]."""
+def ntt_fwd32(x, psi_rev, q, qinv, psi_shoup=None):
+    """Forward NTT on uint32 [..., L, n]; psi_rev [L, n]; q/qinv [L].
+
+    With `psi_shoup` (the floor(w*2^32/q) companion table) the butterfly
+    twiddle product uses the 3-mul Shoup form instead of 4-mul Montgomery —
+    in that case `psi_rev` must hold the STANDARD-form twiddles (Shoup has
+    no REDC R^{-1} to strip a Montgomery factor from the table).
+    """
     n = x.shape[-1]
     L = x.shape[-2]
     batch = x.shape[:-2]
@@ -151,20 +198,26 @@ def ntt_fwd32(x, psi_rev, q, qinv):
         s = psi_rev[:, m:2 * m, None]
         xr = x.reshape(*batch, L, m, 2, t)
         u = xr[..., 0, :]
-        v = mont_mul32(xr[..., 1, :], s, q2, qi2)
+        if psi_shoup is not None:
+            v = shoup_mul32(xr[..., 1, :], s, psi_shoup[:, m:2 * m, None], q2)
+        else:
+            v = mont_mul32(xr[..., 1, :], s, q2, qi2)
         x = jnp.stack([mod_add32(u, v, q2), mod_sub32(u, v, q2)],
                       axis=-2).reshape(*batch, L, n)
         m *= 2
     return x
 
 
-def ntt_inv32(x, ipsi_rev, ninv, q, qinv):
+def ntt_inv32(x, ipsi_rev, ninv, q, qinv, ipsi_shoup=None, ninv_shoup=None):
     """Inverse NTT on uint32 [..., L, n].
 
     `ninv` in Montgomery form keeps the output in the input's domain
     (Montgomery in, Montgomery out); passing plain n^{-1} mod q (standard
     form) fuses the from-Montgomery conversion into the final multiply for
-    free: mont_mul(x*R, n^{-1}) = x*n^{-1} in standard form.
+    free: mont_mul(x*R, n^{-1}) = x*n^{-1} in standard form.  Shoup
+    companion tables switch the twiddle products to the 3-mul form; then
+    `ipsi_rev` must hold STANDARD-form twiddles and `ninv` the fused
+    constant n^{-1} R^{-1} (tables' "ninv_fuse").
     """
     n = x.shape[-1]
     L = x.shape[-2]
@@ -179,8 +232,15 @@ def ntt_inv32(x, ipsi_rev, ninv, q, qinv):
         u = xr[..., 0, :]
         v = xr[..., 1, :]
         top = mod_add32(u, v, q2)
-        bot = mont_mul32(mod_sub32(u, v, q2), s, q2, qi2)
+        diff = mod_sub32(u, v, q2)
+        if ipsi_shoup is not None:
+            bot = shoup_mul32(diff, s, ipsi_shoup[:, h:2 * h, None], q2)
+        else:
+            bot = mont_mul32(diff, s, q2, qi2)
         x = jnp.stack([top, bot], axis=-2).reshape(*batch, L, n)
         t *= 2
         m = h
+    if ninv_shoup is not None:
+        return shoup_mul32(x, ninv.reshape(L, 1), ninv_shoup.reshape(L, 1),
+                           q.reshape(L, 1))
     return mont_mul32(x, ninv.reshape(L, 1), q.reshape(L, 1), qinv.reshape(L, 1))
