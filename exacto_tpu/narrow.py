@@ -66,6 +66,8 @@ class NarrowBasis:
     ninv_fuse: jnp.ndarray = None   # [L] u32 (n^{-1} R^{-1}: Shoup-fused
                                     #          from-Montgomery final stage)
     ninv_fuse_shoup: jnp.ndarray = None
+    r1_shoup: jnp.ndarray = None    # [L] u32 (floor((2^32 mod q)*2^32/q))
+    one_shoup: jnp.ndarray = None   # [L] u32 (floor(2^32/q))
 
     @classmethod
     def create(cls, moduli, n: int) -> "NarrowBasis":
@@ -94,6 +96,8 @@ class NarrowBasis:
             ipsi_shoup=jnp.asarray(np.stack([t["ipsi_shoup"] for t in tabs])),
             ninv_fuse=u32a([t["ninv_fuse"] for t in tabs]),
             ninv_fuse_shoup=u32a([t["ninv_fuse_shoup"] for t in tabs]),
+            r1_shoup=u32a([c["r1_shoup"] for c in consts]),
+            one_shoup=u32a([c["one_shoup"] for c in consts]),
         )
 
     @property
@@ -109,6 +113,12 @@ class NarrowBasis:
 
     def b1(self):
         return self.q.reshape(-1, 1), self.qinv.reshape(-1, 1)
+
+    def reduce64(self, lo, hi):
+        """u64 (lo, hi) [..., n] -> standard residues [..., L, n] (Shoup)."""
+        return w32.reduce_u64_shoup32(
+            lo, hi, self.q.reshape(-1, 1), self.r1.reshape(-1, 1),
+            self.r1_shoup.reshape(-1, 1), self.one_shoup.reshape(-1, 1))
 
 
 @flax.struct.dataclass
@@ -267,20 +277,14 @@ def from_signed32(basis, v):
 
 def from_u64_coeffs32(basis, lo, hi):
     """Arbitrary u64 coefficients (lo, hi u32 [..., n]) -> narrow poly."""
-    q = basis.q.reshape(-1, 1)
-    qi = basis.qinv.reshape(-1, 1)
-    red = w32.reduce_u64_pair32(lo[..., None, :], hi[..., None, :], q, qi,
-                                basis.r1.reshape(-1, 1), basis.r2.reshape(-1, 1))
+    red = basis.reduce64(lo[..., None, :], hi[..., None, :])
     return from_coeff_residues32(basis, red)
 
 
 def sample_uniform32(key, basis, batch_shape=()):
     shape = tuple(batch_shape) + (basis.num_moduli, basis.ring_degree)
     bits = jax.random.bits(key, shape=(2,) + shape, dtype=jnp.uint32)
-    q = basis.q.reshape(-1, 1)
-    qi = basis.qinv.reshape(-1, 1)
-    red = w32.reduce_u64_pair32(bits[0], bits[1], q, qi,
-                                basis.r1.reshape(-1, 1), basis.r2.reshape(-1, 1))
+    red = basis.reduce64(bits[0], bits[1])
     return from_coeff_residues32(basis, red)
 
 
@@ -470,10 +474,12 @@ def _compose_pair(params: NarrowParams, res):
     big_q = basis.modulus_product
     inv0 = hm.mod_inv((big_q // q0) % q0, q0)
     inv1 = hm.mod_inv((big_q // q1) % q1, q1)
-    y0 = w32.mont_mul32(res[..., 0, :], jnp.uint32(inv0 * (1 << 32) % q0),
-                        jnp.uint32(q0), jnp.uint32(w32.mont_consts32(q0)["qinv_neg"]))
-    y1 = w32.mont_mul32(res[..., 1, :], jnp.uint32(inv1 * (1 << 32) % q1),
-                        jnp.uint32(q1), jnp.uint32(w32.mont_consts32(q1)["qinv_neg"]))
+    y0 = w32.shoup_mul32(res[..., 0, :], jnp.uint32(inv0),
+                         jnp.uint32(w32.shoup_const32(inv0, q0)),
+                         jnp.uint32(q0))
+    y1 = w32.shoup_mul32(res[..., 1, :], jnp.uint32(inv1),
+                         jnp.uint32(w32.shoup_const32(inv1, q1)),
+                         jnp.uint32(q1))
     # y0*(Q/q0): u32 x const<2^31 -> u64 pair via w.mul64 on (y, 0) pairs
     z = jnp.zeros_like(y0)
     f0 = w.const_pair(big_q // q0)
@@ -494,32 +500,42 @@ def _narrow_hps_consts(moduli: tuple, aux_moduli: tuple, p: int):
     big_p = 1
     for m in aux_moduli:
         big_p *= m
-    R32 = 1 << 32
-    # Garner mixed-radix tables: inv(p_i) mod p_j (Montgomery) for i < j,
-    # the mixed-radix digits of floor(P/2) (for the sign compare), and
-    # p_j mod q_i (Montgomery) for the Horner evaluation of m mod q_i.
+    # Garner mixed-radix tables: inv(p_i) mod p_j for i < j, the mixed-radix
+    # digits of floor(P/2) (for the sign compare), and p_j mod q_i for the
+    # Horner evaluation of m mod q_i.  All constants carry Shoup companions
+    # (floor(w*2^32/q)) — every multiply here is by a host constant, so the
+    # 3-mul Shoup product replaces 4-mul Montgomery throughout.
+    sh = w32.shoup_const32
     garner_inv = tuple(
-        tuple(hm.mod_inv(aux_moduli[i] % pj, pj) * R32 % pj
-              for i in range(j))
+        tuple(hm.mod_inv(aux_moduli[i] % pj, pj) for i in range(j))
         for j, pj in enumerate(aux_moduli))
     half_digits = []
     rem = big_p // 2
     for pj in aux_moduli:
         half_digits.append(rem % pj)
         rem //= pj
+    qinv_pj = tuple(hm.mod_inv(big_q % m, m) for m in aux_moduli)
+    p_qi = tuple(p % m for m in moduli)
+    pj_qi = tuple(tuple(pj % m for pj in aux_moduli) for m in moduli)
     c = {
         "big_q": big_q,
         "big_p": big_p,
         "phi": (p << 126) // big_q + (1 if ((p << 126) % big_q) * 2 >= big_q else 0),
-        # per aux prime: Q^{-1} mod p_j in Montgomery form
-        "qinv_pj": tuple(hm.mod_inv(big_q % m, m) * R32 % m for m in aux_moduli),
-        # per ct prime: p mod q_i mont, P mod q_i
-        "p_mont_qi": tuple(p % m * R32 % m for m in moduli),
+        # per aux prime: Q^{-1} mod p_j (standard + shoup)
+        "qinv_pj": qinv_pj,
+        "qinv_pj_sh": tuple(sh(v, m) for v, m in zip(qinv_pj, aux_moduli)),
+        # per ct prime: p mod q_i, P mod q_i
+        "p_qi": p_qi,
+        "p_qi_sh": tuple(sh(v, m) for v, m in zip(p_qi, moduli)),
         "pmodq": tuple(big_p % m for m in moduli),
         "garner_inv": garner_inv,
+        "garner_inv_sh": tuple(
+            tuple(sh(v, pj) for v in row)
+            for row, pj in zip(garner_inv, aux_moduli)),
         "half_digits": tuple(half_digits),
-        "pj_mont_qi": tuple(tuple(pj % m * R32 % m for pj in aux_moduli)
-                            for m in moduli),
+        "pj_qi": pj_qi,
+        "pj_qi_sh": tuple(tuple(sh(v, m) for v in row)
+                          for row, m in zip(pj_qi, moduli)),
     }
     return c
 
@@ -540,10 +556,7 @@ def _extend_to_aux(params: NarrowParams, poly, res=None):
     mag = w.select64(neg, w.sub64(qp, x), x)
     auxb = params.aux_basis
     q = auxb.q.reshape(-1, 1)
-    qi = auxb.qinv.reshape(-1, 1)
-    red = w32.reduce_u64_pair32(mag[0][..., None, :], mag[1][..., None, :],
-                                q, qi, auxb.r1.reshape(-1, 1),
-                                auxb.r2.reshape(-1, 1))
+    red = auxb.reduce64(mag[0][..., None, :], mag[1][..., None, :])
     out = jnp.where(neg[..., None, :], w32.mod_neg32(red, q), red)
     return from_coeff_residues32(auxb, out)
 
@@ -568,14 +581,13 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p, eval_out=True):
 
     # m_j = (t_p - a mod p_j) * Q^{-1} mod p_j  (narrow ops per aux prime)
     q_aux = auxb.q.reshape(-1, 1)
-    qi_aux = auxb.qinv.reshape(-1, 1)
-    magred = w32.reduce_u64_pair32(mag[0][..., None, :], mag[1][..., None, :],
-                                   q_aux, qi_aux, auxb.r1.reshape(-1, 1),
-                                   auxb.r2.reshape(-1, 1))
+    magred = auxb.reduce64(mag[0][..., None, :], mag[1][..., None, :])
     a_ext = jnp.where(neg_a[..., None, :], w32.mod_neg32(magred, q_aux), magred)
     diff = w32.mod_sub32(res_p, a_ext, q_aux)
     qinv_pj = jnp.asarray(np.array(cst["qinv_pj"], dtype=np.uint32))[:, None]
-    m_j = w32.mont_mul32(diff, qinv_pj, q_aux, qi_aux)  # standard form
+    qinv_pj_sh = jnp.asarray(np.array(cst["qinv_pj_sh"],
+                                      dtype=np.uint32))[:, None]
+    m_j = w32.shoup_mul32(diff, qinv_pj, qinv_pj_sh, q_aux)  # standard form
 
     # Garner mixed-radix reconstruction of m over the aux primes — all
     # single-u32 narrow ops (no wide accumulator): digits v_j < p_j with
@@ -585,15 +597,14 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p, eval_out=True):
     for j, pj in enumerate(params.aux_moduli):
         cc = w32.mont_consts32(pj)
         pjs = jnp.uint32(pj)
-        pjis = jnp.uint32(cc["qinv_neg"])
-        r1j = jnp.uint32(cc["r1"])
+        one_sh = jnp.uint32(cc["one_shoup"])
         x = m_j[..., j, :]
         for i in range(j):
             # reduce v_i (< p_i, possibly >= p_j) mod p_j, then Garner step
-            vi = w32.mont_mul32(vs[i], r1j, pjs, pjis)
+            vi = w32.shoup_reduce32(vs[i], pjs, one_sh)
             x = w32.mod_sub32(x, vi, pjs)
-            x = w32.mont_mul32(x, jnp.uint32(cst["garner_inv"][j][i]),
-                               pjs, pjis)
+            x = w32.shoup_mul32(x, jnp.uint32(cst["garner_inv"][j][i]),
+                                jnp.uint32(cst["garner_inv_sh"][j][i]), pjs)
         vs.append(x)
     # sign of m (centered mod P): lexicographic mixed-radix compare vs P/2
     neg_m = jnp.zeros_like(vs[0], dtype=bool)
@@ -618,20 +629,22 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p, eval_out=True):
     for i, m in enumerate(params.moduli):
         cc = w32.mont_consts32(m)
         qs = jnp.uint32(m)
-        qis = jnp.uint32(cc["qinv_neg"])
         r1s = jnp.uint32(cc["r1"])
-        r2s = jnp.uint32(cc["r2"])
-        m_mod = w32.mont_mul32(vs[A - 1], r1s, qs, qis)  # reduce mod q_i
+        r1sh = jnp.uint32(cc["r1_shoup"])
+        one_sh = jnp.uint32(cc["one_shoup"])
+        m_mod = w32.shoup_reduce32(vs[A - 1], qs, one_sh)  # reduce mod q_i
         for j in range(A - 2, -1, -1):
-            vj = w32.mont_mul32(vs[j], r1s, qs, qis)
+            vj = w32.shoup_reduce32(vs[j], qs, one_sh)
             m_mod = w32.mod_add32(
-                w32.mont_mul32(m_mod, jnp.uint32(cst["pj_mont_qi"][i][j]),
-                               qs, qis), vj, qs)
+                w32.shoup_mul32(m_mod, jnp.uint32(cst["pj_qi"][i][j]),
+                                jnp.uint32(cst["pj_qi_sh"][i][j]), qs),
+                vj, qs)
         m_mod = jnp.where(neg_m,
                           w32.mod_sub32(m_mod, jnp.uint32(cst["pmodq"][i]), qs),
                           m_mod)
-        pm = w32.mont_mul32(m_mod, jnp.uint32(cst["p_mont_qi"][i]), qs, qis)
-        r_mod = w32.reduce_u64_pair32(r[0], r[1], qs, qis, r1s, r2s)
+        pm = w32.shoup_mul32(m_mod, jnp.uint32(cst["p_qi"][i]),
+                             jnp.uint32(cst["p_qi_sh"][i]), qs)
+        r_mod = w32.reduce_u64_shoup32(r[0], r[1], qs, r1s, r1sh, one_sh)
         r_signed = jnp.where(neg_a, w32.mod_neg32(r_mod, qs), r_mod)
         outs.append(w32.mod_add32(r_signed, pm, qs))
     out = jnp.stack(outs, axis=-2)
@@ -887,12 +900,14 @@ def dbfv_apply_automorphism(ct: NarrowDbfvCiphertext,
 
 def _scalar_mul_ct(params: NarrowParams, c, scalar: int):
     """Multiply an eval-domain tensor by a scalar mod t (constant poly —
-    a pure per-prime Montgomery scalar multiply, no NTT needed)."""
+    a pure per-prime Shoup scalar multiply, no NTT needed)."""
     basis = params.ct_basis
-    s = np.array([scalar % m * (1 << 32) % m for m in basis.moduli],
-                 dtype=np.uint64).astype(np.uint32)
-    q, qi = basis.b1()
-    return w32.mont_mul32(c, jnp.asarray(s)[:, None], q, qi)
+    s = np.array([scalar % m for m in basis.moduli], dtype=np.uint32)
+    ssh = np.array([w32.shoup_const32(scalar % m, m) for m in basis.moduli],
+                   dtype=np.uint32)
+    q = basis.q.reshape(-1, 1)
+    return w32.shoup_mul32(c, jnp.asarray(s)[:, None],
+                           jnp.asarray(ssh)[:, None], q)
 
 
 def dbfv_div_by_base(ct: NarrowDbfvCiphertext) -> NarrowDbfvCiphertext:
@@ -1006,9 +1021,11 @@ def _fold_eval(basis, x, reps, d):
             coeff = int(rep[i])
             if coeff == 0:
                 continue
-            s = np.array([coeff % m * (1 << 32) % m for m in basis.moduli],
-                         dtype=np.uint64).astype(np.uint32)
-            scaled = w32.mont_mul32(limb, jnp.asarray(s)[:, None], q, qi)
+            s = np.array([coeff % m for m in basis.moduli], dtype=np.uint32)
+            ssh = np.array([w32.shoup_const32(coeff % m, m)
+                            for m in basis.moduli], dtype=np.uint32)
+            scaled = w32.shoup_mul32(limb, jnp.asarray(s)[:, None],
+                                     jnp.asarray(ssh)[:, None], q)
             acc[i] = w32.mod_add32(acc[i], scaled, q)
     return jnp.stack(acc, axis=0)
 

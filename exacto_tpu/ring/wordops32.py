@@ -43,6 +43,9 @@ def mont_consts32(q: int) -> dict:
         "qinv_neg": (-inv) & 0xFFFFFFFF,
         "r1": (1 << 32) % q,
         "r2": (1 << 64) % q,
+        # Shoup companions for the constant-operand reductions
+        "r1_shoup": (((1 << 32) % q) << 32) // q,
+        "one_shoup": (1 << 32) // q,
     }
 
 
@@ -134,6 +137,24 @@ def reduce_u64_pair32(lo, hi, q, qinv_neg, r1, r2):
     """
     return mod_add32(mont_mul32(hi, _u32(r2), q, qinv_neg),
                      mont_mul32(lo, _u32(r1), q, qinv_neg), q)
+
+
+def reduce_u64_shoup32(lo, hi, q, r1, r1_shoup, one_shoup):
+    """u64 (lo, hi) mod q with Shoup products (5 mul-units vs Montgomery's
+    8): hi*(2^32 mod q) via shoup_mul (3) and lo mod q via the w=1 Shoup
+    form lo - floor(lo*floor(2^32/q)/2^32)*q (2)."""
+    q = _u32(q)
+    h = shoup_mul32(hi, _u32(r1), _u32(r1_shoup), q)
+    t = lo - mulhi32(lo, _u32(one_shoup)) * q  # lo mod q, in [0, 2q)
+    t = jnp.where(t >= q, t - q, t)
+    return mod_add32(h, t, q)
+
+
+def shoup_reduce32(v, q, one_shoup):
+    """v mod q for v < 2^32 via the w=1 Shoup form (1 mulhi + 1 low mul)."""
+    q = _u32(q)
+    t = v - mulhi32(v, _u32(one_shoup)) * q
+    return jnp.where(t >= q, t - q, t)
 
 
 # ---------------------------------------------------------------------------
