@@ -11,6 +11,9 @@ tensor kernels (no 64-bit ALU on TPU), sharded over device meshes.
 __version__ = "0.1.0"
 
 from . import errors, ring  # noqa: F401
+from .config import enable_persistent_cache as _epc
+
+_epc()  # minutes-per-compile remote service; cache compiled programs on disk
 
 
 def __getattr__(name):

@@ -12,6 +12,31 @@ import os
 
 import jax
 
+_CACHE_SET = False
+
+
+def enable_persistent_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    The axon remote-compile service can take minutes per XLA program; with
+    the on-disk cache every process after the first re-runs the same shapes
+    in milliseconds.  Safe to call repeatedly; no-op if the user already
+    configured a cache dir.  EXACTO_TPU_CACHE=0 disables.
+    """
+    global _CACHE_SET
+    if _CACHE_SET or os.environ.get("EXACTO_TPU_CACHE", "1") in ("0", "false"):
+        return
+    if jax.config.jax_compilation_cache_dir is None:
+        path = path or os.environ.get(
+            "EXACTO_TPU_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         ".jax_cache"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _CACHE_SET = True
+
 
 def jit_enabled() -> bool:
     env = os.environ.get("EXACTO_TPU_JIT")
