@@ -26,6 +26,13 @@ def enable_persistent_cache(path: str | None = None) -> None:
     global _CACHE_SET
     if _CACHE_SET or os.environ.get("EXACTO_TPU_CACHE", "1") in ("0", "false"):
         return
+    # CPU-only processes (tests, dryruns) skip the cache: accelerator runs
+    # compile host-side CPU executables on the REMOTE compile service, whose
+    # machine features differ — loading those AOT entries locally risks
+    # SIGILL (and compiles are fast on CPU anyway).
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() in ("cpu",):
+        _CACHE_SET = True
+        return
     if jax.config.jax_compilation_cache_dir is None:
         path = path or os.environ.get(
             "EXACTO_TPU_CACHE_DIR",
