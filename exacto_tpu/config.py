@@ -55,17 +55,17 @@ def jit_enabled() -> bool:
 def pallas_ntt_enabled() -> bool:
     """Fused Pallas NTT on the narrow path (TPU backend only).
 
-    Default OFF: the standalone kernel beats the stage-by-stage jnp NTT 5.4x
-    (283k vs 52k transforms/s at n=4096), but inside the full multiply graph
-    XLA's cross-stage fusion already runs the jnp path at ~1M transforms/s
-    and the pallas_call boundary blocks that fusion (measured 986 vs 1116
-    ops/s end-to-end).  EXACTO_TPU_PALLAS_NTT=1 opts in (TPU compiles the
-    Mosaic kernel; other backends run it interpreted, for tests).
+    Default ON for TPU: early in round 1 the pallas_call boundary cost more
+    than the fusion it enabled (986 vs 1116 ops/s), but once the rest of the
+    multiply was fused (limbconv kernel, Shoup tables) the 12-stage HBM
+    round trips of the jnp NTT became the bottleneck again — measured 3539
+    vs 2647 ops/s end-to-end with the kernel on.  EXACTO_TPU_PALLAS_NTT=0
+    opts out (non-TPU backends run the jnp path either way).
     """
     env = os.environ.get("EXACTO_TPU_PALLAS_NTT")
     if env is not None:
         return env not in ("0", "false", "False")
-    return False
+    return jax.default_backend() == "tpu"
 
 
 def pallas_limbconv_enabled() -> bool:
