@@ -68,6 +68,32 @@ def pallas_ntt_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def pallas_extend_enabled() -> bool:
+    """Fused base-extend + aux forward NTT kernel (narrow multiply).
+
+    Folds the CRT compose / center / reduce sweep of `_extend_to_aux` into
+    the aux NTT kernel's prologue.  Default OFF: measured 3056 vs 3543
+    ops/s end-to-end at batch 256 — the prologue's compose work is
+    replicated per aux-limb grid step (3x) and the extra in-kernel VPU work
+    costs more than the one HBM sweep it saves.  EXACTO_TPU_PALLAS_EXTEND=1
+    opts in (bit-exact either way).
+    """
+    env = os.environ.get("EXACTO_TPU_PALLAS_EXTEND")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False
+
+
+def pallas_relin_enabled() -> bool:
+    """Fused gadget-keyswitch kernel: digit extraction + per-digit NTT +
+    Montgomery dot with the relin key, all VMEM-resident.
+    EXACTO_TPU_PALLAS_RELIN=0 opts out."""
+    env = os.environ.get("EXACTO_TPU_PALLAS_RELIN")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
 def pallas_limbconv_enabled() -> bool:
     """Fused Pallas tensor-product (limb convolution) kernel on the narrow
     multiply.  Default ON for the TPU backend: the jnp Karatsuba tree is

@@ -547,6 +547,12 @@ def _extend_to_aux(params: NarrowParams, poly, res=None):
     shadow) skips the INTT."""
     if res is None:
         res = to_coeff_residues32(params.ct_basis, poly)
+    from .ops import ntt_pallas32 as npal
+
+    if _config.pallas_extend_enabled() and npal.supported(params.ring_degree):
+        return npal.extend_ntt_fused(
+            res, params.moduli, params.aux_moduli,
+            interpret=jax.default_backend() != "tpu")
     x = _compose_pair(params, res)  # u64 pair in [0, Q)
     cst = _narrow_hps_consts(params.moduli, params.aux_moduli,
                              params.plain_modulus)
@@ -691,22 +697,44 @@ def _gadget_digits32(params: NarrowParams, poly, res=None):
     return from_coeff_residues32(basis, digits)
 
 
-def relinearize32(ct: NarrowCiphertext, rlk: NarrowRelinKey,
-                  c2_res=None) -> NarrowCiphertext:
-    if ct.c2 is None and c2_res is None:
-        return ct
-    params = ct.params
+def _keyswitch_dot32(params: NarrowParams, poly, k0, k1, res=None):
+    """Gadget keyswitch inner product (sum_i d_i*k0_i, sum_i d_i*k1_i) for
+    the balanced digits of `poly` (eval domain; pass `res` = its standard
+    coefficient residues to skip the INTT).  Routes through the fused
+    Pallas kernel (digit extraction + per-digit NTT + Montgomery dot in
+    VMEM) on TPU.  Reference: relinearize/key-switch inner product,
+    /root/reference/src/bfv/keyswitch.rs:59-101."""
     basis = params.ct_basis
-    digits = _gadget_digits32(params, ct.c2, res=c2_res)
+    from .ops import ntt_pallas32 as npal
+
+    if (_config.pallas_relin_enabled() and npal.supported(params.ring_degree)
+            and (params.gadget_base & (params.gadget_base - 1)) == 0):
+        if res is None:
+            res = to_coeff_residues32(basis, poly)
+        return npal.relin_dot_fused(
+            res, k0, k1, params.moduli, params.gadget_base,
+            params.gadget_digits, interpret=jax.default_backend() != "tpu")
+    digits = _gadget_digits32(params, poly, res=res)
     q, qi = basis.b1()
-    prod0 = w32.mont_mul32(digits, rlk.rlk0, q, qi)  # [.., D, L, n]
-    prod1 = w32.mont_mul32(digits, rlk.rlk1, q, qi)
+    prod0 = w32.mont_mul32(digits, k0, q, qi)  # [.., D, L, n]
+    prod1 = w32.mont_mul32(digits, k1, q, qi)
     D = params.gadget_digits
     acc0 = prod0[..., 0, :, :]
     acc1 = prod1[..., 0, :, :]
     for i in range(1, D):
         acc0 = w32.mod_add32(acc0, prod0[..., i, :, :], q)
         acc1 = w32.mod_add32(acc1, prod1[..., i, :, :], q)
+    return acc0, acc1
+
+
+def relinearize32(ct: NarrowCiphertext, rlk: NarrowRelinKey,
+                  c2_res=None) -> NarrowCiphertext:
+    if ct.c2 is None and c2_res is None:
+        return ct
+    params = ct.params
+    basis = params.ct_basis
+    acc0, acc1 = _keyswitch_dot32(params, ct.c2, rlk.rlk0, rlk.rlk1,
+                                  res=c2_res)
     return NarrowCiphertext(c0=np_add(basis, ct.c0, acc0),
                             c1=np_add(basis, ct.c1, acc1),
                             c2=None, params=params)
@@ -875,16 +903,7 @@ def apply_automorphism(ct: NarrowCiphertext, gk: NarrowGaloisKey) -> NarrowCiphe
     perm = _auto_perm(params.ring_degree, gk.element)
     c0a = ct.c0[..., perm]
     c1a = ct.c1[..., perm]
-    digits = _gadget_digits32(params, c1a)
-    q, qi = basis.b1()
-    prod0 = w32.mont_mul32(digits, gk.ks0, q, qi)
-    prod1 = w32.mont_mul32(digits, gk.ks1, q, qi)
-    D = params.gadget_digits
-    acc0 = prod0[..., 0, :, :]
-    acc1 = prod1[..., 0, :, :]
-    for i in range(1, D):
-        acc0 = w32.mod_add32(acc0, prod0[..., i, :, :], q)
-        acc1 = w32.mod_add32(acc1, prod1[..., i, :, :], q)
+    acc0, acc1 = _keyswitch_dot32(params, c1a, gk.ks0, gk.ks1)
     return NarrowCiphertext(c0=np_add(basis, c0a, acc0), c1=acc1, params=params)
 
 

@@ -50,6 +50,7 @@ try:  # pltpu only imports with a TPU-capable jaxlib
 except Exception:  # pragma: no cover
     pltpu = None
 
+from ..ring import wordops as w
 from ..ring import wordops32 as w32
 
 _LANES = 128
@@ -90,15 +91,120 @@ def _fwd_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt):
     q = consts_ref[l, 0]
     qinv = consts_ref[l, 1]
     s_pre = consts_ref[l, 2]
-    R = n // _LANES
     x = w32.mont_mul32(x_ref[:, 0], s_pre, q, qinv)  # [bt, R, 128]
+    out_ref[:, 0] = _fwd_stages(x, tw_ref, q, qinv, n=n, bt=bt)
+
+
+def _fwd_stages(x, tw_ref, q, qinv, *, n, bt):
+    """CT/LN forward butterfly stages on a VMEM-resident [bt, R, 128] tile."""
+    R = n // _LANES
     logn = n.bit_length() - 1
     for s in range(logn):
         t = n >> (s + 1)
         u, v, mask = _partner_uv(x, t, bt, R)
         wv = w32.mont_mul32(v, tw_ref[0, s], q, qinv)
         x = jnp.where(mask, w32.mod_add32(u, wv, q), w32.mod_sub32(u, wv, q))
-    out_ref[:, 0] = x
+    return x
+
+
+def _extend_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt, glob):
+    """Fused centered base-extension Q -> p_l + forward NTT.
+
+    Prologue (was `narrow._extend_to_aux`'s jnp sweep): CRT-compose the two
+    ct-prime residues to t mod Q (u64 pair), center around Q/2, reduce the
+    magnitude mod this grid-step's aux prime, fix the sign, convert to
+    Montgomery — all on the VMEM tile — then run the butterfly stages.  One
+    HBM read of the 2-limb residues + one write of the NTT output replaces
+    the compose/reduce sweep AND the NTT kernel's own input pass.
+
+    `glob` bakes the ct-basis constants (static per params): q0, q1, the
+    CRT inverse factors with Shoup companions, Q and Q/2 as u32 pairs.
+    Reference being fused: base_extend_centered, /root/reference/src/bfv/
+    eval.rs:217-247 (there a per-coefficient scalar loop).
+    """
+    l = pl.program_id(0)
+    q = consts_ref[l, 0]
+    qinv = consts_ref[l, 1]
+    s_pre = consts_ref[l, 2]
+    r1 = consts_ref[l, 4]
+    r1_sh = consts_ref[l, 5]
+    one_sh = consts_ref[l, 6]
+    u32 = jnp.uint32
+    res0 = x_ref[:, 0]  # [bt, R, 128] standard-form residues mod q0
+    res1 = x_ref[:, 1]
+    y0 = w32.shoup_mul32(res0, u32(glob["inv0"]), u32(glob["inv0_sh"]),
+                         u32(glob["q0"]))
+    y1 = w32.shoup_mul32(res1, u32(glob["inv1"]), u32(glob["inv1_sh"]),
+                         u32(glob["q1"]))
+    # t = y0*(Q/q0) + y1*(Q/q1) - {0,1}*Q; Q/q_i < 2^31 so each product is
+    # a 62-bit pair and the sum < 2Q < 2^63 (no 128-bit carry chain needed)
+    p0 = w32.mul32_full(y0, u32(glob["q1"]))  # Q/q0 = q1
+    p1 = w32.mul32_full(y1, u32(glob["q0"]))
+    x64 = w.add64(p0, p1)
+    qp = (u32(glob["q_lo"]), u32(glob["q_hi"]))
+    half = (u32(glob["h_lo"]), u32(glob["h_hi"]))
+    x64 = w.select64(w.ge64(x64, qp), w.sub64(x64, qp), x64)
+    neg = w.gt64(x64, half)
+    mag = w.select64(neg, w.sub64(qp, x64), x64)
+    red = w32.reduce_u64_shoup32(mag[0], mag[1], q, r1, r1_sh, one_sh)
+    xq = jnp.where(neg, w32.mod_neg32(red, q), red)
+    x = w32.mont_mul32(xq, s_pre, q, qinv)  # to-Montgomery
+    out_ref[:, 0] = _fwd_stages(x, tw_ref, q, qinv, n=n, bt=bt)
+
+
+def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref,
+                  out0_ref, out1_ref, *, n, bt, D, log_b, glob):
+    """Fused relinearization inner product for one ct limb.
+
+    Prologue composes the c2 coefficient residues to t mod Q (as in
+    `_extend_kernel`) and centers; then for each gadget digit i: balanced
+    digit extraction (sequential borrow chain, exactly
+    `narrow._gadget_digits32`), forward NTT of the digit plane, Montgomery
+    dot with rlk0/rlk1 digit i, accumulate.  Emits (sum_i d_i*rlk0_i,
+    sum_i d_i*rlk1_i) — the whole gadget keyswitch inner product
+    (reference: relinearize, /root/reference/src/bfv/keyswitch.rs:59-101)
+    with zero intermediate HBM traffic.
+    """
+    l = pl.program_id(0)
+    q = consts_ref[l, 0]
+    qinv = consts_ref[l, 1]
+    s_pre = consts_ref[l, 2]
+    u32 = jnp.uint32
+    res0 = x_ref[:, 0]
+    res1 = x_ref[:, 1]
+    y0 = w32.shoup_mul32(res0, u32(glob["inv0"]), u32(glob["inv0_sh"]),
+                         u32(glob["q0"]))
+    y1 = w32.shoup_mul32(res1, u32(glob["inv1"]), u32(glob["inv1_sh"]),
+                         u32(glob["q1"]))
+    p0 = w32.mul32_full(y0, u32(glob["q1"]))
+    p1 = w32.mul32_full(y1, u32(glob["q0"]))
+    x64 = w.add64(p0, p1)
+    qp = (u32(glob["q_lo"]), u32(glob["q_hi"]))
+    half = (u32(glob["h_lo"]), u32(glob["h_hi"]))
+    x64 = w.select64(w.ge64(x64, qp), w.sub64(x64, qp), x64)
+    neg = w.gt64(x64, half)
+    mag = w.select64(neg, w.sub64(qp, x64), x64)
+
+    half_b = u32(1 << (log_b - 1))
+    bmask = u32((1 << log_b) - 1)
+    acc0 = acc1 = None
+    carry = jnp.zeros_like(res0)
+    for i in range(D):
+        raw = w.shr64(mag, i * log_b)[0] & bmask
+        v = raw + carry
+        ge = v >= half_b
+        dmag = jnp.where(ge, (u32(1) << u32(log_b)) - v, v)
+        carry = ge.astype(jnp.uint32)
+        fneg = ge ^ neg
+        val = jnp.where(fneg & (dmag != 0), q - dmag, dmag)
+        xd = w32.mont_mul32(val, s_pre, q, qinv)  # to-Montgomery
+        yd = _fwd_stages(xd, tw_ref, q, qinv, n=n, bt=bt)
+        t0 = w32.mont_mul32(yd, rlk0_ref[i, 0], q, qinv)
+        t1 = w32.mont_mul32(yd, rlk1_ref[i, 0], q, qinv)
+        acc0 = t0 if acc0 is None else w32.mod_add32(acc0, t0, q)
+        acc1 = t1 if acc1 is None else w32.mod_add32(acc1, t1, q)
+    out0_ref[:, 0] = acc0
+    out1_ref[:, 0] = acc1
 
 
 def _inv_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt):
@@ -212,6 +318,146 @@ def _run(kernel_name: str, x, moduli: tuple, pre: str, post: str,
 
 def supported(n: int) -> bool:
     return n >= 2 * _LANES and (n & (n - 1)) == 0
+
+
+@lru_cache(maxsize=None)
+def _extend_tables(ct_moduli: tuple, aux_moduli: tuple, n: int):
+    """Per-aux-limb consts [A, 8] + baked ct-basis globals for the fused
+    extend kernel."""
+    from ..ring import hostmath as hm
+
+    q0, q1 = ct_moduli
+    big_q = q0 * q1
+    inv0 = hm.mod_inv(q1 % q0, q0)  # (Q/q0)^{-1} mod q0
+    inv1 = hm.mod_inv(q0 % q1, q1)
+    glob = {
+        "q0": q0, "q1": q1,
+        "inv0": inv0, "inv0_sh": w32.shoup_const32(inv0, q0),
+        "inv1": inv1, "inv1_sh": w32.shoup_const32(inv1, q1),
+        "q_lo": big_q & 0xFFFFFFFF, "q_hi": big_q >> 32,
+        "h_lo": (big_q // 2) & 0xFFFFFFFF, "h_hi": (big_q // 2) >> 32,
+    }
+    consts = np.zeros((len(aux_moduli), 8), dtype=np.uint32)
+    for li, p in enumerate(aux_moduli):
+        cc = w32.mont_consts32(p)
+        consts[li] = (p, cc["qinv_neg"], cc["r2"], 0, cc["r1"],
+                      cc["r1_shoup"], cc["one_shoup"], 0)
+    return consts, tuple(sorted(glob.items()))
+
+
+@lru_cache(maxsize=None)
+def _build_extend(n: int, bt: int, A: int, nb: int, glob_items: tuple,
+                  interpret: bool):
+    R = n // _LANES
+    logn = n.bit_length() - 1
+    kfn = partial(_extend_kernel, n=n, bt=bt, glob=dict(glob_items))
+    smem = pltpu.SMEM if pltpu is not None else None
+    vmem = pltpu.VMEM if pltpu is not None else None
+    return pl.pallas_call(
+        kfn,
+        grid=(A, nb),
+        in_specs=[
+            pl.BlockSpec((A, 8), lambda l, b: (0, 0), memory_space=smem),
+            # both ct-limb residue planes, identical for every aux limb
+            pl.BlockSpec((bt, 2, R, _LANES), lambda l, b: (b, 0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
+                         memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((bt, 1, R, _LANES), lambda l, b: (b, l, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((nb * bt, A, R, _LANES), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+@lru_cache(maxsize=None)
+def _build_relin(n: int, bt: int, L: int, nb: int, D: int, log_b: int,
+                 glob_items: tuple, interpret: bool):
+    R = n // _LANES
+    logn = n.bit_length() - 1
+    kfn = partial(_relin_kernel, n=n, bt=bt, D=D, log_b=log_b,
+                  glob=dict(glob_items))
+    smem = pltpu.SMEM if pltpu is not None else None
+    vmem = pltpu.VMEM if pltpu is not None else None
+    out = jax.ShapeDtypeStruct((nb * bt, L, R, _LANES), jnp.uint32)
+    return pl.pallas_call(
+        kfn,
+        grid=(L, nb),
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda l, b: (0, 0), memory_space=smem),
+            pl.BlockSpec((bt, 2, R, _LANES), lambda l, b: (b, 0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((D, 1, R, _LANES), lambda l, b: (0, l, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((D, 1, R, _LANES), lambda l, b: (0, l, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
+                         memory_space=vmem),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, 1, R, _LANES), lambda l, b: (b, l, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((bt, 1, R, _LANES), lambda l, b: (b, l, 0, 0),
+                         memory_space=vmem),
+        ],
+        out_shape=[out, out],
+        interpret=interpret,
+    )
+
+
+def relin_dot_fused(res, rlk0, rlk1, ct_moduli, gadget_base: int,
+                    gadget_digits: int, *, interpret=False):
+    """Whole gadget-keyswitch inner product fused into one kernel.
+
+    res: c2's standard-form coefficient residues u32 [..., L, n] (L=2 ct
+    primes); rlk0/rlk1: [D, L, n] NTT-Montgomery key ladders.  Returns
+    (acc0, acc1) [..., L, n] NTT-Montgomery — equal to the narrow engine's
+    `_gadget_digits32` + per-digit NTT + Montgomery dot + digit sum."""
+    ct_moduli = tuple(ct_moduli)
+    n = res.shape[-1]
+    batch = res.shape[:-2]
+    B = 1
+    for s in batch:
+        B *= s
+    L = len(ct_moduli)
+    log_b = gadget_base.bit_length() - 1
+    consts_np, glob_items = _extend_tables(ct_moduli, ct_moduli, n)
+    fwd_tw, _, _ = _stage_tables(ct_moduli, n)
+    R = n // _LANES
+    bt = _pick_bt(B, n)
+    call = _build_relin(n, bt, L, B // bt, gadget_digits, log_b, glob_items,
+                        interpret)
+    a0, a1 = call(jnp.asarray(consts_np), res.reshape(B, L, R, _LANES),
+                  rlk0.reshape(gadget_digits, L, R, _LANES),
+                  rlk1.reshape(gadget_digits, L, R, _LANES),
+                  jnp.asarray(fwd_tw))
+    return (a0.reshape(*batch, L, n), a1.reshape(*batch, L, n))
+
+
+def extend_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False):
+    """Centered base extension Q -> P fused with the aux forward NTT.
+
+    res: standard-form coefficient residues u32 [..., 2, n] over the two
+    ct primes.  Returns NTT-Montgomery aux polys [..., A, n] — exactly
+    `from_coeff_residues32(aux_basis, centered_reduce(compose(res)))` in one
+    kernel (the narrow engine's `_extend_to_aux`, minus every intermediate
+    HBM round trip)."""
+    ct_moduli, aux_moduli = tuple(ct_moduli), tuple(aux_moduli)
+    n = res.shape[-1]
+    batch = res.shape[:-2]
+    B = 1
+    for s in batch:
+        B *= s
+    A = len(aux_moduli)
+    consts_np, glob_items = _extend_tables(ct_moduli, aux_moduli, n)
+    fwd_tw, _, _ = _stage_tables(aux_moduli, n)
+    R = n // _LANES
+    bt = _pick_bt(B, n)
+    call = _build_extend(n, bt, A, B // bt, glob_items, interpret)
+    out = call(jnp.asarray(consts_np), res.reshape(B, 2, R, _LANES),
+               jnp.asarray(fwd_tw))
+    return out.reshape(*batch, A, n)
 
 
 def ntt_fwd32_fused(x, moduli, *, to_mont=False, interpret=False):

@@ -44,3 +44,59 @@ def test_pallas_ntt_matches_jnp(n, L, batch, rng):
     got_i = ntt_pallas.ntt_inv_pallas(got_f, basis, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_i[0]), np.asarray(ref_i[0]))
     np.testing.assert_array_equal(np.asarray(got_i[1]), np.asarray(ref_i[1]))
+
+
+def test_pallas_extend_ntt_fused_matches_jnp(rng):
+    """Fused base-extend + aux NTT kernel == the narrow engine's jnp path
+    (compose -> centered reduce -> from_coeff_residues32), bit-exact."""
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.ops import ntt_pallas32 as npal
+
+    n = 256
+    qs = nr.find_narrow_primes(n, 2, 31)
+    ps = nr.find_narrow_primes(n, 3, 31, skip=qs)
+    params = nr.NarrowParams.create(n, 1040407, qs, ps)
+    res = np.stack([rng.integers(0, m, size=(3, n)).astype(np.uint32)
+                    for m in params.moduli], axis=-2)  # [3, 2, n]
+    import jax.numpy as jnp
+
+    ref = nr._extend_to_aux(params, None, res=jnp.asarray(res))
+    got = npal.extend_ntt_fused(jnp.asarray(res), params.moduli,
+                                params.aux_moduli, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_relin_dot_fused_matches_jnp(rng):
+    """Fused gadget-keyswitch kernel == digits -> per-digit NTT -> Montgomery
+    dot -> digit sum on the jnp path, bit-exact."""
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.ring import wordops32 as w32
+    from exacto_tpu.ops import ntt_pallas32 as npal
+    import jax.numpy as jnp
+
+    n = 256
+    qs = nr.find_narrow_primes(n, 2, 31)
+    ps = nr.find_narrow_primes(n, 3, 31, skip=qs)
+    params = nr.NarrowParams.create(n, 1040407, qs, ps, gadget_base=1 << 21)
+    res = np.stack([rng.integers(0, m, size=(3, n)).astype(np.uint32)
+                    for m in params.moduli], axis=-2)
+    D = params.gadget_digits
+    rlk0 = np.stack([rng.integers(0, m, size=(D, n)).astype(np.uint32)
+                     for m in params.moduli], axis=-2)
+    rlk1 = np.stack([rng.integers(0, m, size=(D, n)).astype(np.uint32)
+                     for m in params.moduli], axis=-2)
+
+    digits = nr._gadget_digits32(params, None, res=jnp.asarray(res))
+    q, qi = params.ct_basis.b1()
+    p0 = w32.mont_mul32(digits, jnp.asarray(rlk0), q, qi)
+    p1 = w32.mont_mul32(digits, jnp.asarray(rlk1), q, qi)
+    ref0, ref1 = p0[..., 0, :, :], p1[..., 0, :, :]
+    for i in range(1, D):
+        ref0 = w32.mod_add32(ref0, p0[..., i, :, :], q)
+        ref1 = w32.mod_add32(ref1, p1[..., i, :, :], q)
+
+    a0, a1 = npal.relin_dot_fused(jnp.asarray(res), jnp.asarray(rlk0),
+                                  jnp.asarray(rlk1), params.moduli,
+                                  params.gadget_base, D, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(ref0))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(ref1))
