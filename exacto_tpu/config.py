@@ -84,6 +84,16 @@ def pallas_extend_enabled() -> bool:
     return False
 
 
+def pallas_hps_enabled() -> bool:
+    """Fused HPS-scale mega-kernel: INTT(ct+aux bases) + CRT/Garner glue +
+    output forward NTT in one VMEM-resident pass, gridded over batch only.
+    EXACTO_TPU_PALLAS_HPS=0/1 overrides."""
+    env = os.environ.get("EXACTO_TPU_PALLAS_HPS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
+
+
 def pallas_relin_enabled() -> bool:
     """Fused gadget-keyswitch kernel: digit extraction + per-digit NTT +
     Montgomery dot with the relin key, all VMEM-resident.

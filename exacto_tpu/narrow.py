@@ -573,6 +573,13 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p, eval_out=True):
     eval_out=False returns standard-form coefficient residues (skips the
     output NTT — used for the c2 component, which feeds straight into the
     coefficient-domain gadget decomposition)."""
+    from .ops import ntt_pallas32 as npal
+
+    if (_config.pallas_hps_enabled() and npal.supported(params.ring_degree)
+            and len(params.moduli) == 2):
+        return npal.hps_ntt_fused(t_q, t_p, params.moduli, params.aux_moduli,
+                                  params.plain_modulus, eval_out=eval_out,
+                                  interpret=jax.default_backend() != "tpu")
     cst = _narrow_hps_consts(params.moduli, params.aux_moduli,
                              params.plain_modulus)
     ctb, auxb = params.ct_basis, params.aux_basis

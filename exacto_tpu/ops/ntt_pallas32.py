@@ -95,14 +95,15 @@ def _fwd_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt):
     out_ref[:, 0] = _fwd_stages(x, tw_ref, q, qinv, n=n, bt=bt)
 
 
-def _fwd_stages(x, tw_ref, q, qinv, *, n, bt):
-    """CT/LN forward butterfly stages on a VMEM-resident [bt, R, 128] tile."""
+def _fwd_stages(x, tw_ref, q, qinv, *, n, bt, tw_l=0):
+    """CT/LN forward butterfly stages on a VMEM-resident [bt, R, 128] tile.
+    tw_l selects the limb row when the twiddle ref holds several limbs."""
     R = n // _LANES
     logn = n.bit_length() - 1
     for s in range(logn):
         t = n >> (s + 1)
         u, v, mask = _partner_uv(x, t, bt, R)
-        wv = w32.mont_mul32(v, tw_ref[0, s], q, qinv)
+        wv = w32.mont_mul32(v, tw_ref[tw_l, s], q, qinv)
         x = jnp.where(mask, w32.mod_add32(u, wv, q), w32.mod_sub32(u, wv, q))
     return x
 
@@ -207,21 +208,28 @@ def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref,
     out1_ref[:, 0] = acc1
 
 
-def _inv_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt):
-    l = pl.program_id(0)
-    q = consts_ref[l, 0]
-    qinv = consts_ref[l, 1]
-    s_post = consts_ref[l, 3]
+def _inv_stages(x, tw_ref, q, qinv, s_post, *, n, bt, tw_l=0):
+    """GS inverse butterfly stages + fused final scalar multiply on a
+    VMEM-resident [bt, R, 128] tile.  tw_l selects the limb row when the
+    twiddle ref holds several limbs."""
     R = n // _LANES
-    x = x_ref[:, 0]
     logn = n.bit_length() - 1
     for s in range(logn):
         t = 1 << s
         u, v, mask = _partner_uv(x, t, bt, R)
         tot = w32.mod_add32(u, v, q)
-        diff = w32.mont_mul32(w32.mod_sub32(u, v, q), tw_ref[0, s], q, qinv)
+        diff = w32.mont_mul32(w32.mod_sub32(u, v, q), tw_ref[tw_l, s], q, qinv)
         x = jnp.where(mask, tot, diff)
-    out_ref[:, 0] = w32.mont_mul32(x, s_post, q, qinv)
+    return w32.mont_mul32(x, s_post, q, qinv)
+
+
+def _inv_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt):
+    l = pl.program_id(0)
+    q = consts_ref[l, 0]
+    qinv = consts_ref[l, 1]
+    s_post = consts_ref[l, 3]
+    out_ref[:, 0] = _inv_stages(x_ref[:, 0], tw_ref, q, qinv, s_post,
+                                n=n, bt=bt)
 
 
 @lru_cache(maxsize=None)
@@ -404,6 +412,203 @@ def _build_relin(n: int, bt: int, L: int, nb: int, D: int, log_b: int,
         out_shape=[out, out],
         interpret=interpret,
     )
+
+
+def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwp_ref, ftwq_ref, out_ref, *,
+                n, bt, glob, eval_out):
+    """Whole HPS scale for one batch tile, all limbs VMEM-resident.
+
+    INTT the 2 ct-limb and A aux-limb tensor planes, then run the exact
+    narrow HPS glue (CRT compose -> centered magnitude -> per-aux m_j ->
+    Garner mixed-radix digits -> sign -> 64x128 fixed-point round -> Horner
+    assembly per ct prime; `narrow._narrow_hps_scale`), then (eval_out)
+    forward-NTT both ct output limbs.  Grid is over BATCH ONLY so the glue
+    runs once per tile — the lesson from the extend-prologue regression.
+    Reference: hps_scale, /root/reference/src/bfv/eval.rs:257-413."""
+    u32 = jnp.uint32
+    (q0, q1, inv0, inv0_sh, inv1, inv1_sh,
+     q_lo, q_hi, h_lo, h_hi) = glob["compose"]
+    A = len(glob["aux"])
+    rq = []
+    for i, ct in enumerate(glob["ct"]):
+        rq.append(_inv_stages(tq_ref[:, i], itwq_ref, u32(ct[0]), u32(ct[1]),
+                              u32(ct[2]), n=n, bt=bt, tw_l=i))
+    rp = []
+    for j, ax in enumerate(glob["aux"]):
+        rp.append(_inv_stages(tp_ref[:, j], itwp_ref, u32(ax[0]), u32(ax[1]),
+                              u32(ax[2]), n=n, bt=bt, tw_l=j))
+
+    y0 = w32.shoup_mul32(rq[0], u32(inv0), u32(inv0_sh), u32(q0))
+    y1 = w32.shoup_mul32(rq[1], u32(inv1), u32(inv1_sh), u32(q1))
+    a = w.add64(w32.mul32_full(y0, u32(q1)), w32.mul32_full(y1, u32(q0)))
+    qp = (u32(q_lo), u32(q_hi))
+    half = (u32(h_lo), u32(h_hi))
+    a = w.select64(w.ge64(a, qp), w.sub64(a, qp), a)
+    neg_a = w.gt64(a, half)
+    mag = w.select64(neg_a, w.sub64(qp, a), a)
+
+    m_list = []
+    for j, ax in enumerate(glob["aux"]):
+        pj = u32(ax[0])
+        red = w32.reduce_u64_shoup32(mag[0], mag[1], pj, u32(ax[3]),
+                                     u32(ax[4]), u32(ax[5]))
+        a_ext = jnp.where(neg_a, w32.mod_neg32(red, pj), red)
+        diff = w32.mod_sub32(rp[j], a_ext, pj)
+        m_list.append(w32.shoup_mul32(diff, u32(ax[6]), u32(ax[7]), pj))
+
+    vs = []
+    for j, ax in enumerate(glob["aux"]):
+        pj = u32(ax[0])
+        one_sh = u32(ax[5])
+        x = m_list[j]
+        for i in range(j):
+            vi = w32.shoup_reduce32(vs[i], pj, one_sh)
+            x = w32.mod_sub32(x, vi, pj)
+            g, gsh = glob["garner"][j][i]
+            x = w32.shoup_mul32(x, u32(g), u32(gsh), pj)
+        vs.append(x)
+    neg_m = jnp.zeros_like(vs[0], dtype=bool)
+    for j, ax in enumerate(glob["aux"]):
+        hj = u32(ax[8])
+        neg_m = (vs[j] > hj) | ((vs[j] == hj) & neg_m)
+
+    phi = tuple(u32(wd) for wd in glob["phi"])
+    prod = w.mul64x128(mag, phi)
+    w3 = prod[3] + u32(1 << 29)
+    c3 = (w3 < prod[3]).astype(jnp.uint32)
+    w4 = prod[4] + c3
+    c4 = (w4 < prod[4]).astype(jnp.uint32)
+    w5 = prod[5] + c4
+    r = ((w3 >> 30) | (w4 << 2), (w4 >> 30) | (w5 << 2))
+
+    for i, ct in enumerate(glob["ct"]):
+        qs, qinv = u32(ct[0]), u32(ct[1])
+        one_sh = u32(ct[6])
+        m_mod = w32.shoup_reduce32(vs[A - 1], qs, one_sh)
+        for j in range(A - 2, -1, -1):
+            vj = w32.shoup_reduce32(vs[j], qs, one_sh)
+            pq, pqsh = glob["ctx"][i][j]
+            m_mod = w32.mod_add32(
+                w32.shoup_mul32(m_mod, u32(pq), u32(pqsh), qs), vj, qs)
+        m_mod = jnp.where(neg_m,
+                          w32.mod_sub32(m_mod, u32(ct[7]), qs), m_mod)
+        pm = w32.shoup_mul32(m_mod, u32(ct[8]), u32(ct[9]), qs)
+        r_mod = w32.reduce_u64_shoup32(r[0], r[1], qs, u32(ct[4]),
+                                       u32(ct[5]), one_sh)
+        r_signed = jnp.where(neg_a, w32.mod_neg32(r_mod, qs), r_mod)
+        oi = w32.mod_add32(r_signed, pm, qs)
+        if eval_out:
+            oi = w32.mont_mul32(oi, u32(ct[3]), qs, qinv)  # to-Montgomery
+            oi = _fwd_stages(oi, ftwq_ref, qs, qinv, n=n, bt=bt, tw_l=i)
+        out_ref[:, i] = oi
+
+
+@lru_cache(maxsize=None)
+def _hps_tables(ct_moduli: tuple, aux_moduli: tuple, p: int, n: int):
+    """Bake every host constant of the narrow HPS glue into nested tuples
+    (hashable, closed over by the kernel as immediates)."""
+    from ..narrow import _narrow_hps_consts  # lazy: narrow imports ops lazily
+
+    cst = _narrow_hps_consts(ct_moduli, aux_moduli, p)
+    _, glob_items = _extend_tables(ct_moduli, ct_moduli, n)
+    compose_g = dict(glob_items)
+    compose = (compose_g["q0"], compose_g["q1"], compose_g["inv0"],
+               compose_g["inv0_sh"], compose_g["inv1"], compose_g["inv1_sh"],
+               compose_g["q_lo"], compose_g["q_hi"], compose_g["h_lo"],
+               compose_g["h_hi"])
+    phi = tuple((cst["phi"] >> (32 * i)) & 0xFFFFFFFF for i in range(4))
+
+    def s_post(m):  # inverse-NTT final scalar, from-Montgomery fused
+        ninv = int(w32.build_psi_tables32(m, n)["ninv"])
+        return ninv * pow(1 << 32, -1, m) % m
+
+    aux = []
+    for j, pj in enumerate(aux_moduli):
+        cc = w32.mont_consts32(pj)
+        aux.append((pj, cc["qinv_neg"], s_post(pj), cc["r1"], cc["r1_shoup"],
+                    cc["one_shoup"], cst["qinv_pj"][j], cst["qinv_pj_sh"][j],
+                    cst["half_digits"][j]))
+    garner = tuple(
+        tuple((cst["garner_inv"][j][i], cst["garner_inv_sh"][j][i])
+              for i in range(j))
+        for j in range(len(aux_moduli)))
+    ct = []
+    ctx = []
+    for i, m in enumerate(ct_moduli):
+        cc = w32.mont_consts32(m)
+        ct.append((m, cc["qinv_neg"], s_post(m), cc["r2"], cc["r1"],
+                   cc["r1_shoup"], cc["one_shoup"], cst["pmodq"][i],
+                   cst["p_qi"][i], cst["p_qi_sh"][i]))
+        ctx.append(tuple((cst["pj_qi"][i][j], cst["pj_qi_sh"][i][j])
+                         for j in range(len(aux_moduli))))
+    glob = {"compose": compose, "phi": phi, "aux": tuple(aux),
+            "garner": garner, "ct": tuple(ct), "ctx": tuple(ctx)}
+    return tuple(sorted(glob.items()))
+
+
+@lru_cache(maxsize=None)
+def _build_hps(n: int, bt: int, A: int, nb: int, glob_items: tuple,
+               eval_out: bool, interpret: bool):
+    R = n // _LANES
+    logn = n.bit_length() - 1
+    kfn = partial(_hps_kernel, n=n, bt=bt, glob=dict(glob_items),
+                  eval_out=eval_out)
+    vmem = pltpu.VMEM if pltpu is not None else None
+    return pl.pallas_call(
+        kfn,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, 2, R, _LANES), lambda b: (b, 0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((bt, A, R, _LANES), lambda b: (b, 0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((2, logn, R, _LANES), lambda b: (0, 0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((A, logn, R, _LANES), lambda b: (0, 0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((2, logn, R, _LANES), lambda b: (0, 0, 0, 0),
+                         memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((bt, 2, R, _LANES), lambda b: (b, 0, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((nb * bt, 2, R, _LANES), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def _pick_bt_hps(B: int, n: int) -> int:
+    """Divisor of B sized for the HPS kernel's ~24 live [bt, n] tiles."""
+    cap = max(1, (6 << 20) // (n * 4 * 24))
+    bt = min(B, cap)
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+def hps_ntt_fused(t_q, t_p, ct_moduli, aux_moduli, p: int, *,
+                  eval_out=True, interpret=False):
+    """Fused HPS scale: INTT(both bases) + glue + output forward NTT.
+
+    t_q: eval-Montgomery u32 [..., 2, n]; t_p: [..., A, n].  Returns
+    round(p*t/Q) mod q_i as eval-Montgomery [..., 2, n] (eval_out) or
+    standard coefficient residues (for the c2 component)."""
+    ct_moduli, aux_moduli = tuple(ct_moduli), tuple(aux_moduli)
+    n = t_q.shape[-1]
+    batch = t_q.shape[:-2]
+    B = 1
+    for s in batch:
+        B *= s
+    A = len(aux_moduli)
+    glob_items = _hps_tables(ct_moduli, aux_moduli, p, n)
+    _, itwq, _ = _stage_tables(ct_moduli, n)
+    _, itwp, _ = _stage_tables(aux_moduli, n)
+    ftwq, _, _ = _stage_tables(ct_moduli, n)
+    R = n // _LANES
+    bt = _pick_bt_hps(B, n)
+    call = _build_hps(n, bt, A, B // bt, glob_items, eval_out, interpret)
+    out = call(t_q.reshape(B, 2, R, _LANES), t_p.reshape(B, A, R, _LANES),
+               jnp.asarray(itwq), jnp.asarray(itwp), jnp.asarray(ftwq))
+    return out.reshape(*batch, 2, n)
 
 
 def relin_dot_fused(res, rlk0, rlk1, ct_moduli, gadget_base: int,

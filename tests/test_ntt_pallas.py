@@ -100,3 +100,29 @@ def test_pallas_relin_dot_fused_matches_jnp(rng):
                                   params.gadget_base, D, interpret=True)
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(ref0))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(ref1))
+
+
+@pytest.mark.parametrize("eval_out", [True, False])
+def test_pallas_hps_ntt_fused_matches_jnp(rng, eval_out):
+    """Fused HPS mega-kernel (INTT both bases + CRT/Garner glue + output
+    NTT) == `narrow._narrow_hps_scale` on the jnp path, bit-exact."""
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.ops import ntt_pallas32 as npal
+    import jax.numpy as jnp
+
+    n = 256
+    qs = nr.find_narrow_primes(n, 2, 31)
+    ps = nr.find_narrow_primes(n, 3, 31, skip=qs)
+    params = nr.NarrowParams.create(n, 1040407, qs, ps)
+    tq_res = np.stack([rng.integers(0, m, size=(4, n)).astype(np.uint32)
+                       for m in params.moduli], axis=-2)
+    tp_res = np.stack([rng.integers(0, m, size=(4, n)).astype(np.uint32)
+                       for m in params.aux_moduli], axis=-2)
+    t_q = nr.from_coeff_residues32(params.ct_basis, jnp.asarray(tq_res))
+    t_p = nr.from_coeff_residues32(params.aux_basis, jnp.asarray(tp_res))
+
+    ref = nr._narrow_hps_scale(params, t_q, t_p, eval_out=eval_out)
+    got = npal.hps_ntt_fused(t_q, t_p, params.moduli, params.aux_moduli,
+                             params.plain_modulus, eval_out=eval_out,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
