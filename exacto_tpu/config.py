@@ -72,16 +72,17 @@ def pallas_extend_enabled() -> bool:
     """Fused base-extend + aux forward NTT kernel (narrow multiply).
 
     Folds the CRT compose / center / reduce sweep of `_extend_to_aux` into
-    the aux NTT kernel's prologue.  Default OFF: measured 3056 vs 3543
-    ops/s end-to-end at batch 256 — the prologue's compose work is
-    replicated per aux-limb grid step (3x) and the extra in-kernel VPU work
-    costs more than the one HBM sweep it saves.  EXACTO_TPU_PALLAS_EXTEND=1
-    opts in (bit-exact either way).
+    the aux forward-NTT kernel.  Default ON for TPU since the batch-gridded
+    variant (`extend3_ntt_fused`: one compose emits all aux limbs): 4101 vs
+    3935 ops/s at batch 256.  The earlier per-aux-limb-gridded kernel
+    (`extend_ntt_fused`) replicated the compose 3x and REGRESSED (3056 vs
+    3543) — kept only as a test subject.  EXACTO_TPU_PALLAS_EXTEND=0 opts
+    out (bit-exact either way).
     """
     env = os.environ.get("EXACTO_TPU_PALLAS_EXTEND")
     if env is not None:
         return env not in ("0", "false", "False")
-    return False
+    return jax.default_backend() == "tpu"
 
 
 def pallas_hps_enabled() -> bool:

@@ -550,7 +550,7 @@ def _extend_to_aux(params: NarrowParams, poly, res=None):
     from .ops import ntt_pallas32 as npal
 
     if _config.pallas_extend_enabled() and npal.supported(params.ring_degree):
-        return npal.extend_ntt_fused(
+        return npal.extend3_ntt_fused(
             res, params.moduli, params.aux_moduli,
             interpret=jax.default_backend() != "tpu")
     x = _compose_pair(params, res)  # u64 pair in [0, Q)

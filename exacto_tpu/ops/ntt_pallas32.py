@@ -414,6 +414,89 @@ def _build_relin(n: int, bt: int, L: int, nb: int, D: int, log_b: int,
     )
 
 
+def _extend3_kernel(x_ref, tw_ref, out_ref, *, n, bt, glob, aux):
+    """Centered base extension emitting ALL aux limbs from one compose.
+
+    Unlike `_extend_kernel` (gridded per aux limb, compose replicated —
+    measured regression), this grids over batch only: one CRT compose +
+    centering per tile, then per aux prime a reduce + to-Montgomery +
+    forward NTT, all VMEM-resident.  `aux` bakes per-prime constants
+    (p, qinv_neg, r2, r1, r1_sh, one_sh)."""
+    u32 = jnp.uint32
+    (q0, q1, inv0, inv0_sh, inv1, inv1_sh,
+     q_lo, q_hi, h_lo, h_hi) = glob
+    res0 = x_ref[:, 0]
+    res1 = x_ref[:, 1]
+    y0 = w32.shoup_mul32(res0, u32(inv0), u32(inv0_sh), u32(q0))
+    y1 = w32.shoup_mul32(res1, u32(inv1), u32(inv1_sh), u32(q1))
+    x64 = w.add64(w32.mul32_full(y0, u32(q1)), w32.mul32_full(y1, u32(q0)))
+    qp = (u32(q_lo), u32(q_hi))
+    half = (u32(h_lo), u32(h_hi))
+    x64 = w.select64(w.ge64(x64, qp), w.sub64(x64, qp), x64)
+    neg = w.gt64(x64, half)
+    mag = w.select64(neg, w.sub64(qp, x64), x64)
+    for j, ax in enumerate(aux):
+        pj, pqinv = u32(ax[0]), u32(ax[1])
+        red = w32.reduce_u64_shoup32(mag[0], mag[1], pj, u32(ax[3]),
+                                     u32(ax[4]), u32(ax[5]))
+        xq = jnp.where(neg, w32.mod_neg32(red, pj), red)
+        xm = w32.mont_mul32(xq, u32(ax[2]), pj, pqinv)  # to-Montgomery
+        out_ref[:, j] = _fwd_stages(xm, tw_ref, pj, pqinv, n=n, bt=bt,
+                                    tw_l=j)
+
+
+@lru_cache(maxsize=None)
+def _build_extend3(n: int, bt: int, A: int, nb: int, glob: tuple,
+                   aux: tuple, interpret: bool):
+    R = n // _LANES
+    logn = n.bit_length() - 1
+    kfn = partial(_extend3_kernel, n=n, bt=bt, glob=glob, aux=aux)
+    vmem = pltpu.VMEM if pltpu is not None else None
+    return pl.pallas_call(
+        kfn,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((bt, 2, R, _LANES), lambda b: (b, 0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((A, logn, R, _LANES), lambda b: (0, 0, 0, 0),
+                         memory_space=vmem),
+        ],
+        out_specs=pl.BlockSpec((bt, A, R, _LANES), lambda b: (b, 0, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((nb * bt, A, R, _LANES), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def extend3_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False):
+    """Batch-gridded fused base extension Q -> P + aux forward NTTs.
+
+    Same contract as `extend_ntt_fused` (res [..., 2, n] standard residues
+    -> [..., A, n] NTT-Montgomery aux polys), but the compose prologue runs
+    once per batch tile instead of once per aux limb."""
+    ct_moduli, aux_moduli = tuple(ct_moduli), tuple(aux_moduli)
+    n = res.shape[-1]
+    batch = res.shape[:-2]
+    B = 1
+    for s in batch:
+        B *= s
+    A = len(aux_moduli)
+    consts_np, glob_items = _extend_tables(ct_moduli, aux_moduli, n)
+    g = dict(glob_items)
+    glob = (g["q0"], g["q1"], g["inv0"], g["inv0_sh"], g["inv1"],
+            g["inv1_sh"], g["q_lo"], g["q_hi"], g["h_lo"], g["h_hi"])
+    # rows are (p, qinv_neg, r2, 0, r1, r1_shoup, one_shoup, 0); the kernel
+    # wants (p, qinv_neg, r2, r1, r1_sh, one_sh)
+    aux = tuple(tuple(int(row[k]) for k in (0, 1, 2, 4, 5, 6))
+                for row in consts_np)
+    fwd_tw, _, _ = _stage_tables(aux_moduli, n)
+    R = n // _LANES
+    bt = _pick_bt_hps(B, n)
+    call = _build_extend3(n, bt, A, B // bt, glob, aux, interpret)
+    out = call(res.reshape(B, 2, R, _LANES), jnp.asarray(fwd_tw))
+    return out.reshape(*batch, A, n)
+
+
 def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwp_ref, ftwq_ref, out_ref, *,
                 n, bt, glob, eval_out):
     """Whole HPS scale for one batch tile, all limbs VMEM-resident.

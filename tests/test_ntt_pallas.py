@@ -126,3 +126,22 @@ def test_pallas_hps_ntt_fused_matches_jnp(rng, eval_out):
                              params.plain_modulus, eval_out=eval_out,
                              interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_extend3_ntt_fused_matches_jnp(rng):
+    """Batch-gridded fused extend (one compose -> all aux limbs + NTTs) ==
+    the narrow engine's jnp path, bit-exact."""
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.ops import ntt_pallas32 as npal
+    import jax.numpy as jnp
+
+    n = 256
+    qs = nr.find_narrow_primes(n, 2, 31)
+    ps = nr.find_narrow_primes(n, 3, 31, skip=qs)
+    params = nr.NarrowParams.create(n, 1040407, qs, ps)
+    res = np.stack([rng.integers(0, m, size=(3, n)).astype(np.uint32)
+                    for m in params.moduli], axis=-2)
+    ref = nr._extend_to_aux(params, None, res=jnp.asarray(res))
+    got = npal.extend3_ntt_fused(jnp.asarray(res), params.moduli,
+                                 params.aux_moduli, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
