@@ -86,29 +86,35 @@ def _partner_uv(x, t, bt, R):
     return u, v, mask
 
 
-def _fwd_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt):
+def _fwd_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt):
     l = pl.program_id(0)
     q = consts_ref[l, 0]
-    qinv = consts_ref[l, 1]
-    s_pre = consts_ref[l, 2]
-    x = w32.mont_mul32(x_ref[:, 0], s_pre, q, qinv)  # [bt, R, 128]
-    out_ref[:, 0] = _fwd_stages(x, tw_ref, q, qinv, n=n, bt=bt)
+    pre_w = consts_ref[l, 2]
+    pre_sh = consts_ref[l, 3]
+    x = w32.shoup_mul32(x_ref[:, 0], pre_w, pre_sh, q)  # [bt, R, 128]
+    out_ref[:, 0] = _fwd_stages(x, tw_ref, twsh_ref, q, n=n, bt=bt)
 
 
-def _fwd_stages(x, tw_ref, q, qinv, *, n, bt, tw_l=0):
+def _fwd_stages(x, tw_ref, twsh_ref, q, *, n, bt, tw_l=0):
     """CT/LN forward butterfly stages on a VMEM-resident [bt, R, 128] tile.
-    tw_l selects the limb row when the twiddle ref holds several limbs."""
+
+    Twiddle products use the 3-mul Shoup form (standard-form stage vectors
+    in tw_ref + floor(w*2^32/q) companions in twsh_ref) — Montgomery-domain
+    data stays Montgomery, and each butterfly drops from 10 to 6 native u32
+    multiplies vs mont_mul32.  tw_l selects the limb row when the refs hold
+    several limbs."""
     R = n // _LANES
     logn = n.bit_length() - 1
     for s in range(logn):
         t = n >> (s + 1)
         u, v, mask = _partner_uv(x, t, bt, R)
-        wv = w32.mont_mul32(v, tw_ref[tw_l, s], q, qinv)
+        wv = w32.shoup_mul32(v, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)
         x = jnp.where(mask, w32.mod_add32(u, wv, q), w32.mod_sub32(u, wv, q))
     return x
 
 
-def _extend_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt, glob):
+def _extend_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt,
+                   glob):
     """Fused centered base-extension Q -> p_l + forward NTT.
 
     Prologue (was `narrow._extend_to_aux`'s jnp sweep): CRT-compose the two
@@ -125,8 +131,6 @@ def _extend_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt, glob):
     """
     l = pl.program_id(0)
     q = consts_ref[l, 0]
-    qinv = consts_ref[l, 1]
-    s_pre = consts_ref[l, 2]
     r1 = consts_ref[l, 4]
     r1_sh = consts_ref[l, 5]
     one_sh = consts_ref[l, 6]
@@ -149,11 +153,11 @@ def _extend_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt, glob):
     mag = w.select64(neg, w.sub64(qp, x64), x64)
     red = w32.reduce_u64_shoup32(mag[0], mag[1], q, r1, r1_sh, one_sh)
     xq = jnp.where(neg, w32.mod_neg32(red, q), red)
-    x = w32.mont_mul32(xq, s_pre, q, qinv)  # to-Montgomery
-    out_ref[:, 0] = _fwd_stages(x, tw_ref, q, qinv, n=n, bt=bt)
+    x = w32.shoup_mul32(xq, r1, r1_sh, q)  # to-Montgomery (x * R)
+    out_ref[:, 0] = _fwd_stages(x, tw_ref, twsh_ref, q, n=n, bt=bt)
 
 
-def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref,
+def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref, twsh_ref,
                   out0_ref, out1_ref, *, n, bt, D, log_b, glob):
     """Fused relinearization inner product for one ct limb.
 
@@ -169,7 +173,8 @@ def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref,
     l = pl.program_id(0)
     q = consts_ref[l, 0]
     qinv = consts_ref[l, 1]
-    s_pre = consts_ref[l, 2]
+    r1 = consts_ref[l, 4]
+    r1_sh = consts_ref[l, 5]
     u32 = jnp.uint32
     res0 = x_ref[:, 0]
     res1 = x_ref[:, 1]
@@ -198,8 +203,8 @@ def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref,
         carry = ge.astype(jnp.uint32)
         fneg = ge ^ neg
         val = jnp.where(fneg & (dmag != 0), q - dmag, dmag)
-        xd = w32.mont_mul32(val, s_pre, q, qinv)  # to-Montgomery
-        yd = _fwd_stages(xd, tw_ref, q, qinv, n=n, bt=bt)
+        xd = w32.shoup_mul32(val, r1, r1_sh, q)  # to-Montgomery (x * R)
+        yd = _fwd_stages(xd, tw_ref, twsh_ref, q, n=n, bt=bt)
         t0 = w32.mont_mul32(yd, rlk0_ref[i, 0], q, qinv)
         t1 = w32.mont_mul32(yd, rlk1_ref[i, 0], q, qinv)
         acc0 = t0 if acc0 is None else w32.mod_add32(acc0, t0, q)
@@ -208,65 +213,94 @@ def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref,
     out1_ref[:, 0] = acc1
 
 
-def _inv_stages(x, tw_ref, q, qinv, s_post, *, n, bt, tw_l=0):
+def _inv_stages(x, tw_ref, twsh_ref, q, post_w, post_sh, *, n, bt, tw_l=0):
     """GS inverse butterfly stages + fused final scalar multiply on a
-    VMEM-resident [bt, R, 128] tile.  tw_l selects the limb row when the
-    twiddle ref holds several limbs."""
+    VMEM-resident [bt, R, 128] tile, Shoup twiddle products throughout.
+    tw_l selects the limb row when the twiddle refs hold several limbs."""
     R = n // _LANES
     logn = n.bit_length() - 1
     for s in range(logn):
         t = 1 << s
         u, v, mask = _partner_uv(x, t, bt, R)
         tot = w32.mod_add32(u, v, q)
-        diff = w32.mont_mul32(w32.mod_sub32(u, v, q), tw_ref[tw_l, s], q, qinv)
+        diff = w32.shoup_mul32(w32.mod_sub32(u, v, q), tw_ref[tw_l, s],
+                               twsh_ref[tw_l, s], q)
         x = jnp.where(mask, tot, diff)
-    return w32.mont_mul32(x, s_post, q, qinv)
+    return w32.shoup_mul32(x, post_w, post_sh, q)
 
 
-def _inv_kernel(consts_ref, x_ref, tw_ref, out_ref, *, n, bt):
+def _inv_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt):
     l = pl.program_id(0)
     q = consts_ref[l, 0]
-    qinv = consts_ref[l, 1]
-    s_post = consts_ref[l, 3]
-    out_ref[:, 0] = _inv_stages(x_ref[:, 0], tw_ref, q, qinv, s_post,
-                                n=n, bt=bt)
+    post_w = consts_ref[l, 4]
+    post_sh = consts_ref[l, 5]
+    out_ref[:, 0] = _inv_stages(x_ref[:, 0], tw_ref, twsh_ref, q, post_w,
+                                post_sh, n=n, bt=bt)
 
 
 @lru_cache(maxsize=None)
 def _stage_tables(moduli: tuple, n: int):
-    """Host precompute: per-stage full twiddle vectors.
+    """Host precompute: per-stage full twiddle vectors, STANDARD form with
+    Shoup companions (floor(w*2^32/q)).
 
-    fwd[s][j] = psi_rev[2^s + (j >> (logn - s))]          (CT stage s)
-    inv[s][j] = ipsi_rev[(n >> (s+1)) + (j >> (s+1))]     (GS stage s)
-    Returns (fwd [L, S, R, 128], inv [L, S, R, 128], consts [L, 8]) arrays.
+    fwd[s][j] = psi_std[2^s + (j >> (logn - s))]          (CT stage s)
+    inv[s][j] = ipsi_std[(n >> (s+1)) + (j >> (s+1))]     (GS stage s)
+    Returns (fwd, fwd_sh, inv, inv_sh [L, S, R, 128], consts [L, 10]):
+    consts = (q, qinv_neg, r1, r1_sh, one_sh[=shoup(1)], ninv_fuse,
+              ninv_fuse_sh, ninv_mont, ninv_mont_sh, 0), where the pre/post
+    scalar multiplies are Shoup pairs: to-Montgomery = (r1, r1_sh) [x*R],
+    identity = (1, one_sh), from-Montgomery-fused inverse = ninv_fuse
+    [n^{-1}R^{-1}], Montgomery-preserving inverse = ninv_mont [n^{-1}R].
     """
     logn = n.bit_length() - 1
     R = n // _LANES
     fwd = np.zeros((len(moduli), logn, n), dtype=np.uint32)
+    fwd_sh = np.zeros((len(moduli), logn, n), dtype=np.uint32)
     inv = np.zeros((len(moduli), logn, n), dtype=np.uint32)
-    consts = np.zeros((len(moduli), 8), dtype=np.uint32)
+    inv_sh = np.zeros((len(moduli), logn, n), dtype=np.uint32)
+    consts = np.zeros((len(moduli), 10), dtype=np.uint32)
     j = np.arange(n)
     for li, q in enumerate(moduli):
         tabs = w32.build_psi_tables32(q, n)
         cc = w32.mont_consts32(q)
+        fidx = [(1 << s) + (j >> (logn - s)) for s in range(logn)]
+        iidx = [(n >> (s + 1)) + (j >> (s + 1)) for s in range(logn)]
         for s in range(logn):
-            fwd[li, s] = tabs["psi_rev"][(1 << s) + (j >> (logn - s))]
-            inv[li, s] = tabs["ipsi_rev"][(n >> (s + 1)) + (j >> (s + 1))]
-        consts[li] = (q, cc["qinv_neg"], 0, 0, cc["r1"], cc["r2"],
-                      int(tabs["ninv"]),
-                      int(tabs["ninv"]) * pow(1 << 32, -1, q) % q)
-    return (fwd.reshape(len(moduli), logn, R, _LANES),
-            inv.reshape(len(moduli), logn, R, _LANES),
-            consts)
+            fwd[li, s] = tabs["psi_std"][fidx[s]]
+            fwd_sh[li, s] = tabs["psi_shoup"][fidx[s]]
+            inv[li, s] = tabs["ipsi_std"][iidx[s]]
+            inv_sh[li, s] = tabs["ipsi_shoup"][iidx[s]]
+        ninv_mont = int(tabs["ninv"])  # n^{-1} R mod q
+        consts[li] = (q, cc["qinv_neg"], cc["r1"], cc["r1_shoup"],
+                      cc["one_shoup"], int(tabs["ninv_fuse"]),
+                      int(tabs["ninv_fuse_shoup"]), ninv_mont,
+                      (ninv_mont << 32) // q, 0)
+    sh = (len(moduli), logn, R, _LANES)
+    return (fwd.reshape(sh), fwd_sh.reshape(sh), inv.reshape(sh),
+            inv_sh.reshape(sh), consts)
 
 
 def _consts_with_scalars(consts: np.ndarray, pre_sel: str, post_sel: str):
-    """consts[:, 2] = s_pre, consts[:, 3] = s_post per the selector."""
-    out = consts.copy()
-    sel = {"r1": 4, "r2": 5, "ninv_mont": 6, "ninv_std": 7}
-    out[:, 2] = out[:, sel[pre_sel]]
-    out[:, 3] = out[:, sel[post_sel]]
-    return out[:, :4]
+    """consts[:, 2:4] = (pre_w, pre_sh), consts[:, 4:6] = (post_w, post_sh)
+    per the selector (Shoup pairs)."""
+    out = consts[:, :6].copy()
+    sel = {"to_mont": (2, 3), "identity": None, "ninv_fuse": (5, 6),
+           "ninv_mont": (7, 8)}
+    pre = sel[pre_sel]
+    if pre is None:
+        out[:, 2] = 1
+        out[:, 3] = consts[:, 4]  # shoup(1) = floor(2^32/q)
+    else:
+        out[:, 2] = consts[:, pre[0]]
+        out[:, 3] = consts[:, pre[1]]
+    post = sel[post_sel]
+    if post is None:
+        out[:, 4] = 1
+        out[:, 5] = consts[:, 4]
+    else:
+        out[:, 4] = consts[:, post[0]]
+        out[:, 5] = consts[:, post[1]]
+    return out
 
 
 def _pick_bt(B: int, n: int) -> int:
@@ -287,15 +321,17 @@ def _build(kernel_name: str, n: int, bt: int, L: int, nb: int,
     kfn = partial(kernel, n=n, bt=bt)
     smem = pltpu.SMEM if pltpu is not None else None
     vmem = pltpu.VMEM if pltpu is not None else None
+    tw_spec = pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
+                           memory_space=vmem)
     return pl.pallas_call(
         kfn,
         grid=(L, nb),
         in_specs=[
-            pl.BlockSpec((L, 4), lambda l, b: (0, 0), memory_space=smem),
+            pl.BlockSpec((L, 6), lambda l, b: (0, 0), memory_space=smem),
             pl.BlockSpec((bt, 1, R, _LANES), lambda l, b: (b, l, 0, 0),
                          memory_space=vmem),
-            pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
-                         memory_space=vmem),
+            tw_spec,
+            tw_spec,
         ],
         out_specs=pl.BlockSpec((bt, 1, R, _LANES), lambda l, b: (b, l, 0, 0),
                                memory_space=vmem),
@@ -313,14 +349,17 @@ def _run(kernel_name: str, x, moduli: tuple, pre: str, post: str,
     B = 1
     for s in batch:
         B *= s
-    fwd_tw, inv_tw, consts_np = _stage_tables(moduli, n)
-    tw = jnp.asarray(fwd_tw if kernel_name == "fwd" else inv_tw)
+    fwd_tw, fwd_sh, inv_tw, inv_sh, consts_np = _stage_tables(moduli, n)
+    if kernel_name == "fwd":
+        tw, twsh = jnp.asarray(fwd_tw), jnp.asarray(fwd_sh)
+    else:
+        tw, twsh = jnp.asarray(inv_tw), jnp.asarray(inv_sh)
     consts = jnp.asarray(_consts_with_scalars(consts_np, pre, post))
     R = n // _LANES
     bt = _pick_bt(B, n)
     call = _build(kernel_name, n, bt, L, B // bt, interpret)
     x4 = x.reshape(B, L, R, _LANES)
-    out = call(consts, x4, tw)
+    out = call(consts, x4, tw, twsh)
     return out.reshape(*batch, L, n)
 
 
@@ -361,6 +400,8 @@ def _build_extend(n: int, bt: int, A: int, nb: int, glob_items: tuple,
     kfn = partial(_extend_kernel, n=n, bt=bt, glob=dict(glob_items))
     smem = pltpu.SMEM if pltpu is not None else None
     vmem = pltpu.VMEM if pltpu is not None else None
+    tw_spec = pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
+                           memory_space=vmem)
     return pl.pallas_call(
         kfn,
         grid=(A, nb),
@@ -369,8 +410,8 @@ def _build_extend(n: int, bt: int, A: int, nb: int, glob_items: tuple,
             # both ct-limb residue planes, identical for every aux limb
             pl.BlockSpec((bt, 2, R, _LANES), lambda l, b: (b, 0, 0, 0),
                          memory_space=vmem),
-            pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
-                         memory_space=vmem),
+            tw_spec,
+            tw_spec,
         ],
         out_specs=pl.BlockSpec((bt, 1, R, _LANES), lambda l, b: (b, l, 0, 0),
                                memory_space=vmem),
@@ -389,6 +430,8 @@ def _build_relin(n: int, bt: int, L: int, nb: int, D: int, log_b: int,
     smem = pltpu.SMEM if pltpu is not None else None
     vmem = pltpu.VMEM if pltpu is not None else None
     out = jax.ShapeDtypeStruct((nb * bt, L, R, _LANES), jnp.uint32)
+    tw_spec = pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
+                           memory_space=vmem)
     return pl.pallas_call(
         kfn,
         grid=(L, nb),
@@ -400,8 +443,8 @@ def _build_relin(n: int, bt: int, L: int, nb: int, D: int, log_b: int,
                          memory_space=vmem),
             pl.BlockSpec((D, 1, R, _LANES), lambda l, b: (0, l, 0, 0),
                          memory_space=vmem),
-            pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
-                         memory_space=vmem),
+            tw_spec,
+            tw_spec,
         ],
         out_specs=[
             pl.BlockSpec((bt, 1, R, _LANES), lambda l, b: (b, l, 0, 0),
@@ -414,7 +457,7 @@ def _build_relin(n: int, bt: int, L: int, nb: int, D: int, log_b: int,
     )
 
 
-def _extend3_kernel(x_ref, tw_ref, out_ref, *, n, bt, glob, aux):
+def _extend3_kernel(x_ref, tw_ref, twsh_ref, out_ref, *, n, bt, glob, aux):
     """Centered base extension emitting ALL aux limbs from one compose.
 
     Unlike `_extend_kernel` (gridded per aux limb, compose replicated —
@@ -436,12 +479,13 @@ def _extend3_kernel(x_ref, tw_ref, out_ref, *, n, bt, glob, aux):
     neg = w.gt64(x64, half)
     mag = w.select64(neg, w.sub64(qp, x64), x64)
     for j, ax in enumerate(aux):
-        pj, pqinv = u32(ax[0]), u32(ax[1])
-        red = w32.reduce_u64_shoup32(mag[0], mag[1], pj, u32(ax[3]),
-                                     u32(ax[4]), u32(ax[5]))
+        pj = u32(ax[0])
+        r1j, r1shj = u32(ax[3]), u32(ax[4])
+        red = w32.reduce_u64_shoup32(mag[0], mag[1], pj, r1j, r1shj,
+                                     u32(ax[5]))
         xq = jnp.where(neg, w32.mod_neg32(red, pj), red)
-        xm = w32.mont_mul32(xq, u32(ax[2]), pj, pqinv)  # to-Montgomery
-        out_ref[:, j] = _fwd_stages(xm, tw_ref, pj, pqinv, n=n, bt=bt,
+        xm = w32.shoup_mul32(xq, r1j, r1shj, pj)  # to-Montgomery (x * R)
+        out_ref[:, j] = _fwd_stages(xm, tw_ref, twsh_ref, pj, n=n, bt=bt,
                                     tw_l=j)
 
 
@@ -452,14 +496,16 @@ def _build_extend3(n: int, bt: int, A: int, nb: int, glob: tuple,
     logn = n.bit_length() - 1
     kfn = partial(_extend3_kernel, n=n, bt=bt, glob=glob, aux=aux)
     vmem = pltpu.VMEM if pltpu is not None else None
+    tw_spec = pl.BlockSpec((A, logn, R, _LANES), lambda b: (0, 0, 0, 0),
+                           memory_space=vmem)
     return pl.pallas_call(
         kfn,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((bt, 2, R, _LANES), lambda b: (b, 0, 0, 0),
                          memory_space=vmem),
-            pl.BlockSpec((A, logn, R, _LANES), lambda b: (0, 0, 0, 0),
-                         memory_space=vmem),
+            tw_spec,
+            tw_spec,
         ],
         out_specs=pl.BlockSpec((bt, A, R, _LANES), lambda b: (b, 0, 0, 0),
                                memory_space=vmem),
@@ -489,15 +535,17 @@ def extend3_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False):
     # wants (p, qinv_neg, r2, r1, r1_sh, one_sh)
     aux = tuple(tuple(int(row[k]) for k in (0, 1, 2, 4, 5, 6))
                 for row in consts_np)
-    fwd_tw, _, _ = _stage_tables(aux_moduli, n)
+    fwd_tw, fwd_sh, _, _, _ = _stage_tables(aux_moduli, n)
     R = n // _LANES
     bt = _pick_bt_hps(B, n)
     call = _build_extend3(n, bt, A, B // bt, glob, aux, interpret)
-    out = call(res.reshape(B, 2, R, _LANES), jnp.asarray(fwd_tw))
+    out = call(res.reshape(B, 2, R, _LANES), jnp.asarray(fwd_tw),
+               jnp.asarray(fwd_sh))
     return out.reshape(*batch, A, n)
 
 
-def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwp_ref, ftwq_ref, out_ref, *,
+def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwq_sh_ref, itwp_ref,
+                itwp_sh_ref, ftwq_ref, ftwq_sh_ref, out_ref, *,
                 n, bt, glob, eval_out):
     """Whole HPS scale for one batch tile, all limbs VMEM-resident.
 
@@ -514,12 +562,14 @@ def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwp_ref, ftwq_ref, out_ref, *,
     A = len(glob["aux"])
     rq = []
     for i, ct in enumerate(glob["ct"]):
-        rq.append(_inv_stages(tq_ref[:, i], itwq_ref, u32(ct[0]), u32(ct[1]),
-                              u32(ct[2]), n=n, bt=bt, tw_l=i))
+        rq.append(_inv_stages(tq_ref[:, i], itwq_ref, itwq_sh_ref,
+                              u32(ct[0]), u32(ct[2]), u32(ct[3]),
+                              n=n, bt=bt, tw_l=i))
     rp = []
     for j, ax in enumerate(glob["aux"]):
-        rp.append(_inv_stages(tp_ref[:, j], itwp_ref, u32(ax[0]), u32(ax[1]),
-                              u32(ax[2]), n=n, bt=bt, tw_l=j))
+        rp.append(_inv_stages(tp_ref[:, j], itwp_ref, itwp_sh_ref,
+                              u32(ax[0]), u32(ax[2]), u32(ax[3]),
+                              n=n, bt=bt, tw_l=j))
 
     y0 = w32.shoup_mul32(rq[0], u32(inv0), u32(inv0_sh), u32(q0))
     y1 = w32.shoup_mul32(rq[1], u32(inv1), u32(inv1_sh), u32(q1))
@@ -533,16 +583,16 @@ def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwp_ref, ftwq_ref, out_ref, *,
     m_list = []
     for j, ax in enumerate(glob["aux"]):
         pj = u32(ax[0])
-        red = w32.reduce_u64_shoup32(mag[0], mag[1], pj, u32(ax[3]),
-                                     u32(ax[4]), u32(ax[5]))
+        red = w32.reduce_u64_shoup32(mag[0], mag[1], pj, u32(ax[4]),
+                                     u32(ax[5]), u32(ax[6]))
         a_ext = jnp.where(neg_a, w32.mod_neg32(red, pj), red)
         diff = w32.mod_sub32(rp[j], a_ext, pj)
-        m_list.append(w32.shoup_mul32(diff, u32(ax[6]), u32(ax[7]), pj))
+        m_list.append(w32.shoup_mul32(diff, u32(ax[7]), u32(ax[8]), pj))
 
     vs = []
     for j, ax in enumerate(glob["aux"]):
         pj = u32(ax[0])
-        one_sh = u32(ax[5])
+        one_sh = u32(ax[6])
         x = m_list[j]
         for i in range(j):
             vi = w32.shoup_reduce32(vs[i], pj, one_sh)
@@ -552,7 +602,7 @@ def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwp_ref, ftwq_ref, out_ref, *,
         vs.append(x)
     neg_m = jnp.zeros_like(vs[0], dtype=bool)
     for j, ax in enumerate(glob["aux"]):
-        hj = u32(ax[8])
+        hj = u32(ax[9])
         neg_m = (vs[j] > hj) | ((vs[j] == hj) & neg_m)
 
     phi = tuple(u32(wd) for wd in glob["phi"])
@@ -565,7 +615,7 @@ def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwp_ref, ftwq_ref, out_ref, *,
     r = ((w3 >> 30) | (w4 << 2), (w4 >> 30) | (w5 << 2))
 
     for i, ct in enumerate(glob["ct"]):
-        qs, qinv = u32(ct[0]), u32(ct[1])
+        qs = u32(ct[0])
         one_sh = u32(ct[6])
         m_mod = w32.shoup_reduce32(vs[A - 1], qs, one_sh)
         for j in range(A - 2, -1, -1):
@@ -581,8 +631,9 @@ def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwp_ref, ftwq_ref, out_ref, *,
         r_signed = jnp.where(neg_a, w32.mod_neg32(r_mod, qs), r_mod)
         oi = w32.mod_add32(r_signed, pm, qs)
         if eval_out:
-            oi = w32.mont_mul32(oi, u32(ct[3]), qs, qinv)  # to-Montgomery
-            oi = _fwd_stages(oi, ftwq_ref, qs, qinv, n=n, bt=bt, tw_l=i)
+            oi = w32.shoup_mul32(oi, u32(ct[4]), u32(ct[5]), qs)  # x * R
+            oi = _fwd_stages(oi, ftwq_ref, ftwq_sh_ref, qs, n=n, bt=bt,
+                             tw_l=i)
         out_ref[:, i] = oi
 
 
@@ -601,14 +652,17 @@ def _hps_tables(ct_moduli: tuple, aux_moduli: tuple, p: int, n: int):
                compose_g["h_hi"])
     phi = tuple((cst["phi"] >> (32 * i)) & 0xFFFFFFFF for i in range(4))
 
-    def s_post(m):  # inverse-NTT final scalar, from-Montgomery fused
-        ninv = int(w32.build_psi_tables32(m, n)["ninv"])
-        return ninv * pow(1 << 32, -1, m) % m
+    def s_post(m):
+        """(w, w_shoup) for the inverse-NTT final scalar, from-Montgomery
+        fused: w = n^{-1} R^{-1} mod m (= the basis ninv_fuse)."""
+        tabs = w32.build_psi_tables32(m, n)
+        return int(tabs["ninv_fuse"]), int(tabs["ninv_fuse_shoup"])
 
     aux = []
     for j, pj in enumerate(aux_moduli):
         cc = w32.mont_consts32(pj)
-        aux.append((pj, cc["qinv_neg"], s_post(pj), cc["r1"], cc["r1_shoup"],
+        pw, pwsh = s_post(pj)
+        aux.append((pj, cc["qinv_neg"], pw, pwsh, cc["r1"], cc["r1_shoup"],
                     cc["one_shoup"], cst["qinv_pj"][j], cst["qinv_pj_sh"][j],
                     cst["half_digits"][j]))
     garner = tuple(
@@ -619,7 +673,8 @@ def _hps_tables(ct_moduli: tuple, aux_moduli: tuple, p: int, n: int):
     ctx = []
     for i, m in enumerate(ct_moduli):
         cc = w32.mont_consts32(m)
-        ct.append((m, cc["qinv_neg"], s_post(m), cc["r2"], cc["r1"],
+        pw, pwsh = s_post(m)
+        ct.append((m, cc["qinv_neg"], pw, pwsh, cc["r1"],
                    cc["r1_shoup"], cc["one_shoup"], cst["pmodq"][i],
                    cst["p_qi"][i], cst["p_qi_sh"][i]))
         ctx.append(tuple((cst["pj_qi"][i][j], cst["pj_qi_sh"][i][j])
@@ -637,6 +692,10 @@ def _build_hps(n: int, bt: int, A: int, nb: int, glob_items: tuple,
     kfn = partial(_hps_kernel, n=n, bt=bt, glob=dict(glob_items),
                   eval_out=eval_out)
     vmem = pltpu.VMEM if pltpu is not None else None
+    twq_spec = pl.BlockSpec((2, logn, R, _LANES), lambda b: (0, 0, 0, 0),
+                            memory_space=vmem)
+    twp_spec = pl.BlockSpec((A, logn, R, _LANES), lambda b: (0, 0, 0, 0),
+                            memory_space=vmem)
     return pl.pallas_call(
         kfn,
         grid=(nb,),
@@ -645,12 +704,12 @@ def _build_hps(n: int, bt: int, A: int, nb: int, glob_items: tuple,
                          memory_space=vmem),
             pl.BlockSpec((bt, A, R, _LANES), lambda b: (b, 0, 0, 0),
                          memory_space=vmem),
-            pl.BlockSpec((2, logn, R, _LANES), lambda b: (0, 0, 0, 0),
-                         memory_space=vmem),
-            pl.BlockSpec((A, logn, R, _LANES), lambda b: (0, 0, 0, 0),
-                         memory_space=vmem),
-            pl.BlockSpec((2, logn, R, _LANES), lambda b: (0, 0, 0, 0),
-                         memory_space=vmem),
+            twq_spec,
+            twq_spec,
+            twp_spec,
+            twp_spec,
+            twq_spec,
+            twq_spec,
         ],
         out_specs=pl.BlockSpec((bt, 2, R, _LANES), lambda b: (b, 0, 0, 0),
                                memory_space=vmem),
@@ -683,14 +742,14 @@ def hps_ntt_fused(t_q, t_p, ct_moduli, aux_moduli, p: int, *,
         B *= s
     A = len(aux_moduli)
     glob_items = _hps_tables(ct_moduli, aux_moduli, p, n)
-    _, itwq, _ = _stage_tables(ct_moduli, n)
-    _, itwp, _ = _stage_tables(aux_moduli, n)
-    ftwq, _, _ = _stage_tables(ct_moduli, n)
+    ftwq, ftwq_sh, itwq, itwq_sh, _ = _stage_tables(ct_moduli, n)
+    _, _, itwp, itwp_sh, _ = _stage_tables(aux_moduli, n)
     R = n // _LANES
     bt = _pick_bt_hps(B, n)
     call = _build_hps(n, bt, A, B // bt, glob_items, eval_out, interpret)
     out = call(t_q.reshape(B, 2, R, _LANES), t_p.reshape(B, A, R, _LANES),
-               jnp.asarray(itwq), jnp.asarray(itwp), jnp.asarray(ftwq))
+               jnp.asarray(itwq), jnp.asarray(itwq_sh), jnp.asarray(itwp),
+               jnp.asarray(itwp_sh), jnp.asarray(ftwq), jnp.asarray(ftwq_sh))
     return out.reshape(*batch, 2, n)
 
 
@@ -711,7 +770,7 @@ def relin_dot_fused(res, rlk0, rlk1, ct_moduli, gadget_base: int,
     L = len(ct_moduli)
     log_b = gadget_base.bit_length() - 1
     consts_np, glob_items = _extend_tables(ct_moduli, ct_moduli, n)
-    fwd_tw, _, _ = _stage_tables(ct_moduli, n)
+    fwd_tw, fwd_sh, _, _, _ = _stage_tables(ct_moduli, n)
     R = n // _LANES
     bt = _pick_bt(B, n)
     call = _build_relin(n, bt, L, B // bt, gadget_digits, log_b, glob_items,
@@ -719,7 +778,7 @@ def relin_dot_fused(res, rlk0, rlk1, ct_moduli, gadget_base: int,
     a0, a1 = call(jnp.asarray(consts_np), res.reshape(B, L, R, _LANES),
                   rlk0.reshape(gadget_digits, L, R, _LANES),
                   rlk1.reshape(gadget_digits, L, R, _LANES),
-                  jnp.asarray(fwd_tw))
+                  jnp.asarray(fwd_tw), jnp.asarray(fwd_sh))
     return (a0.reshape(*batch, L, n), a1.reshape(*batch, L, n))
 
 
@@ -739,22 +798,22 @@ def extend_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False):
         B *= s
     A = len(aux_moduli)
     consts_np, glob_items = _extend_tables(ct_moduli, aux_moduli, n)
-    fwd_tw, _, _ = _stage_tables(aux_moduli, n)
+    fwd_tw, fwd_sh, _, _, _ = _stage_tables(aux_moduli, n)
     R = n // _LANES
     bt = _pick_bt(B, n)
     call = _build_extend(n, bt, A, B // bt, glob_items, interpret)
     out = call(jnp.asarray(consts_np), res.reshape(B, 2, R, _LANES),
-               jnp.asarray(fwd_tw))
+               jnp.asarray(fwd_tw), jnp.asarray(fwd_sh))
     return out.reshape(*batch, A, n)
 
 
 def ntt_fwd32_fused(x, moduli, *, to_mont=False, interpret=False):
     """Forward negacyclic NTT, fused; optionally fold to-Montgomery in."""
-    return _run("fwd", x, tuple(moduli), "r2" if to_mont else "r1", "r1",
-                interpret)
+    return _run("fwd", x, tuple(moduli),
+                "to_mont" if to_mont else "identity", "identity", interpret)
 
 
 def ntt_inv32_fused(x, moduli, *, from_mont=False, interpret=False):
     """Inverse negacyclic NTT, fused; optionally fold from-Montgomery in."""
-    return _run("inv", x, tuple(moduli), "r1",
-                "ninv_std" if from_mont else "ninv_mont", interpret)
+    return _run("inv", x, tuple(moduli), "identity",
+                "ninv_fuse" if from_mont else "ninv_mont", interpret)
