@@ -200,13 +200,15 @@ def find_narrow_primes(n: int, count: int, max_bits: int = 31,
 @lru_cache(maxsize=None)
 def u64_dbfv_fast(n: int = 4096) -> NarrowDbfvParams:
     """Performance preset matching u64_dbfv's capability (p=2^64, b=256, d=8)
-    with a TPU-first narrow basis: Q = two ~31-bit primes (~2^61 > the
-    reference's 2^60), P = three ~31-bit primes (~2^93, above the pre-scale
-    fold bound fold_factor*d*n*Q/2 ~ 2^87 with ~2^6 slack); gadget base 2^21
-    (3 digits — keyswitch noise ~2^31 per limb vs the Delta/2 ~ 2^40 budget;
-    one fewer digit = 16 fewer batched NTT sweeps per multiply)."""
-    qs = find_narrow_primes(n, 2, 31)
-    ps = find_narrow_primes(n, 3, 31, skip=qs)
+    with a TPU-first narrow basis: Q = two ~30-bit primes (2^60, matching
+    the reference), P = three ~30-bit primes (2^90, above the pre-scale
+    fold bound fold_factor*d*n*Q/2 ~ 2^85 with 2^5 slack); gadget base 2^21
+    (3 digits — keyswitch noise ~2^31 per limb vs the Delta/2 ~ 2^40
+    budget).  Primes below 2^30 (4q < 2^32) enable the Harvey LAZY butterfly
+    chains in the Pallas kernels — values ride in [0, 2q) so the Shoup
+    conditional subtract drops from every twiddle product."""
+    qs = find_narrow_primes(n, 2, 30)
+    ps = find_narrow_primes(n, 3, 30, skip=qs)
     bfv = NarrowParams.create(n, 1040407, qs, ps, gadget_base=1 << 21)
     return NarrowDbfvParams(base=256, num_digits=8, plain_modulus=0, bfv=bfv)
 

@@ -86,31 +86,55 @@ def _partner_uv(x, t, bt, R):
     return u, v, mask
 
 
-def _fwd_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt):
+def _fwd_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt,
+                lazy):
     l = pl.program_id(0)
     q = consts_ref[l, 0]
     pre_w = consts_ref[l, 2]
     pre_sh = consts_ref[l, 3]
     x = w32.shoup_mul32(x_ref[:, 0], pre_w, pre_sh, q)  # [bt, R, 128]
-    out_ref[:, 0] = _fwd_stages(x, tw_ref, twsh_ref, q, n=n, bt=bt)
+    out_ref[:, 0] = _fwd_stages(x, tw_ref, twsh_ref, q, n=n, bt=bt,
+                                lazy=lazy)
 
 
-def _fwd_stages(x, tw_ref, twsh_ref, q, *, n, bt, tw_l=0):
+def _lazy_shoup(v, w, wsh, q):
+    """Shoup product WITHOUT the final conditional subtract: result in
+    [0, 2q) for any u32 v (Harvey).  Only safe when the consumer tolerates
+    the redundant representation, i.e. q < 2^30 lazy butterfly chains."""
+    return v * w - w32.mulhi32(v, wsh) * q
+
+
+def _fwd_stages(x, tw_ref, twsh_ref, q, *, n, bt, tw_l=0, lazy=False):
     """CT/LN forward butterfly stages on a VMEM-resident [bt, R, 128] tile.
 
     Twiddle products use the 3-mul Shoup form (standard-form stage vectors
     in tw_ref + floor(w*2^32/q) companions in twsh_ref) — Montgomery-domain
     data stays Montgomery, and each butterfly drops from 10 to 6 native u32
-    multiplies vs mont_mul32.  tw_l selects the limb row when the refs hold
-    several limbs."""
+    multiplies vs mont_mul32.  With `lazy` (requires q < 2^30 so 4q < 2^32)
+    values ride in [0, 2q) through all stages — the Shoup subtract drops
+    from every twiddle product — and one final select normalizes to [0, q).
+    tw_l selects the limb row when the refs hold several limbs."""
     R = n // _LANES
     logn = n.bit_length() - 1
+    if not lazy:
+        for s in range(logn):
+            t = n >> (s + 1)
+            u, v, mask = _partner_uv(x, t, bt, R)
+            wv = w32.shoup_mul32(v, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)
+            x = jnp.where(mask, w32.mod_add32(u, wv, q),
+                          w32.mod_sub32(u, wv, q))
+        return x
+    q2 = q + q
     for s in range(logn):
         t = n >> (s + 1)
-        u, v, mask = _partner_uv(x, t, bt, R)
-        wv = w32.shoup_mul32(v, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)
-        x = jnp.where(mask, w32.mod_add32(u, wv, q), w32.mod_sub32(u, wv, q))
-    return x
+        u, v, mask = _partner_uv(x, t, bt, R)  # u, v in [0, 2q)
+        wv = _lazy_shoup(v, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)  # [0,2q)
+        add = u + wv                    # [0, 4q) < 2^32
+        add = jnp.where(add >= q2, add - q2, add)
+        sub = u + q2 - wv               # (0, 4q)
+        sub = jnp.where(sub >= q2, sub - q2, sub)
+        x = jnp.where(mask, add, sub)
+    return jnp.where(x >= q, x - q, x)
 
 
 def _extend_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt,
@@ -154,7 +178,8 @@ def _extend_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt,
     red = w32.reduce_u64_shoup32(mag[0], mag[1], q, r1, r1_sh, one_sh)
     xq = jnp.where(neg, w32.mod_neg32(red, q), red)
     x = w32.shoup_mul32(xq, r1, r1_sh, q)  # to-Montgomery (x * R)
-    out_ref[:, 0] = _fwd_stages(x, tw_ref, twsh_ref, q, n=n, bt=bt)
+    out_ref[:, 0] = _fwd_stages(x, tw_ref, twsh_ref, q, n=n, bt=bt,
+                                lazy=glob["lazy_aux"])
 
 
 def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref, twsh_ref,
@@ -204,7 +229,8 @@ def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref, twsh_ref,
         fneg = ge ^ neg
         val = jnp.where(fneg & (dmag != 0), q - dmag, dmag)
         xd = w32.shoup_mul32(val, r1, r1_sh, q)  # to-Montgomery (x * R)
-        yd = _fwd_stages(xd, tw_ref, twsh_ref, q, n=n, bt=bt)
+        yd = _fwd_stages(xd, tw_ref, twsh_ref, q, n=n, bt=bt,
+                         lazy=max(glob["q0"], glob["q1"]) < (1 << 30))
         t0 = w32.mont_mul32(yd, rlk0_ref[i, 0], q, qinv)
         t1 = w32.mont_mul32(yd, rlk1_ref[i, 0], q, qinv)
         acc0 = t0 if acc0 is None else w32.mod_add32(acc0, t0, q)
@@ -213,29 +239,43 @@ def _relin_kernel(consts_ref, x_ref, rlk0_ref, rlk1_ref, tw_ref, twsh_ref,
     out1_ref[:, 0] = acc1
 
 
-def _inv_stages(x, tw_ref, twsh_ref, q, post_w, post_sh, *, n, bt, tw_l=0):
+def _inv_stages(x, tw_ref, twsh_ref, q, post_w, post_sh, *, n, bt, tw_l=0,
+                lazy=False):
     """GS inverse butterfly stages + fused final scalar multiply on a
     VMEM-resident [bt, R, 128] tile, Shoup twiddle products throughout.
-    tw_l selects the limb row when the twiddle refs hold several limbs."""
+    `lazy` (q < 2^30) rides values in [0, 2q); the final exact Shoup
+    multiply normalizes to [0, q) for free.  tw_l selects the limb row
+    when the twiddle refs hold several limbs."""
     R = n // _LANES
     logn = n.bit_length() - 1
+    if not lazy:
+        for s in range(logn):
+            t = 1 << s
+            u, v, mask = _partner_uv(x, t, bt, R)
+            tot = w32.mod_add32(u, v, q)
+            diff = w32.shoup_mul32(w32.mod_sub32(u, v, q), tw_ref[tw_l, s],
+                                   twsh_ref[tw_l, s], q)
+            x = jnp.where(mask, tot, diff)
+        return w32.shoup_mul32(x, post_w, post_sh, q)
+    q2 = q + q
     for s in range(logn):
         t = 1 << s
-        u, v, mask = _partner_uv(x, t, bt, R)
-        tot = w32.mod_add32(u, v, q)
-        diff = w32.shoup_mul32(w32.mod_sub32(u, v, q), tw_ref[tw_l, s],
-                               twsh_ref[tw_l, s], q)
+        u, v, mask = _partner_uv(x, t, bt, R)  # u, v in [0, 2q)
+        tot = u + v
+        tot = jnp.where(tot >= q2, tot - q2, tot)
+        diff = _lazy_shoup(u + q2 - v, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)
         x = jnp.where(mask, tot, diff)
-    return w32.shoup_mul32(x, post_w, post_sh, q)
+    return w32.shoup_mul32(x, post_w, post_sh, q)  # exact: [0, q) out
 
 
-def _inv_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt):
+def _inv_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt,
+                lazy):
     l = pl.program_id(0)
     q = consts_ref[l, 0]
     post_w = consts_ref[l, 4]
     post_sh = consts_ref[l, 5]
     out_ref[:, 0] = _inv_stages(x_ref[:, 0], tw_ref, twsh_ref, q, post_w,
-                                post_sh, n=n, bt=bt)
+                                post_sh, n=n, bt=bt, lazy=lazy)
 
 
 @lru_cache(maxsize=None)
@@ -314,11 +354,11 @@ def _pick_bt(B: int, n: int) -> int:
 
 @lru_cache(maxsize=None)
 def _build(kernel_name: str, n: int, bt: int, L: int, nb: int,
-           interpret: bool):
+           lazy: bool, interpret: bool):
     kernel = {"fwd": _fwd_kernel, "inv": _inv_kernel}[kernel_name]
     R = n // _LANES
     logn = n.bit_length() - 1
-    kfn = partial(kernel, n=n, bt=bt)
+    kfn = partial(kernel, n=n, bt=bt, lazy=lazy)
     smem = pltpu.SMEM if pltpu is not None else None
     vmem = pltpu.VMEM if pltpu is not None else None
     tw_spec = pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
@@ -357,7 +397,8 @@ def _run(kernel_name: str, x, moduli: tuple, pre: str, post: str,
     consts = jnp.asarray(_consts_with_scalars(consts_np, pre, post))
     R = n // _LANES
     bt = _pick_bt(B, n)
-    call = _build(kernel_name, n, bt, L, B // bt, interpret)
+    lazy = max(moduli) < (1 << 30)
+    call = _build(kernel_name, n, bt, L, B // bt, lazy, interpret)
     x4 = x.reshape(B, L, R, _LANES)
     out = call(consts, x4, tw, twsh)
     return out.reshape(*batch, L, n)
@@ -383,6 +424,7 @@ def _extend_tables(ct_moduli: tuple, aux_moduli: tuple, n: int):
         "inv1": inv1, "inv1_sh": w32.shoup_const32(inv1, q1),
         "q_lo": big_q & 0xFFFFFFFF, "q_hi": big_q >> 32,
         "h_lo": (big_q // 2) & 0xFFFFFFFF, "h_hi": (big_q // 2) >> 32,
+        "lazy_aux": all(m < (1 << 30) for m in aux_moduli),
     }
     consts = np.zeros((len(aux_moduli), 8), dtype=np.uint32)
     for li, p in enumerate(aux_moduli):
@@ -486,7 +528,8 @@ def _extend3_kernel(x_ref, tw_ref, twsh_ref, out_ref, *, n, bt, glob, aux):
         xq = jnp.where(neg, w32.mod_neg32(red, pj), red)
         xm = w32.shoup_mul32(xq, r1j, r1shj, pj)  # to-Montgomery (x * R)
         out_ref[:, j] = _fwd_stages(xm, tw_ref, twsh_ref, pj, n=n, bt=bt,
-                                    tw_l=j)
+                                    tw_l=j,
+                                    lazy=all(a[0] < (1 << 30) for a in aux))
 
 
 @lru_cache(maxsize=None)
@@ -560,16 +603,18 @@ def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwq_sh_ref, itwp_ref,
     (q0, q1, inv0, inv0_sh, inv1, inv1_sh,
      q_lo, q_hi, h_lo, h_hi) = glob["compose"]
     A = len(glob["aux"])
+    lazy_ct = all(ct[0] < (1 << 30) for ct in glob["ct"])
+    lazy_aux = all(ax[0] < (1 << 30) for ax in glob["aux"])
     rq = []
     for i, ct in enumerate(glob["ct"]):
         rq.append(_inv_stages(tq_ref[:, i], itwq_ref, itwq_sh_ref,
                               u32(ct[0]), u32(ct[2]), u32(ct[3]),
-                              n=n, bt=bt, tw_l=i))
+                              n=n, bt=bt, tw_l=i, lazy=lazy_ct))
     rp = []
     for j, ax in enumerate(glob["aux"]):
         rp.append(_inv_stages(tp_ref[:, j], itwp_ref, itwp_sh_ref,
                               u32(ax[0]), u32(ax[2]), u32(ax[3]),
-                              n=n, bt=bt, tw_l=j))
+                              n=n, bt=bt, tw_l=j, lazy=lazy_aux))
 
     y0 = w32.shoup_mul32(rq[0], u32(inv0), u32(inv0_sh), u32(q0))
     y1 = w32.shoup_mul32(rq[1], u32(inv1), u32(inv1_sh), u32(q1))
@@ -633,7 +678,7 @@ def _hps_kernel(tq_ref, tp_ref, itwq_ref, itwq_sh_ref, itwp_ref,
         if eval_out:
             oi = w32.shoup_mul32(oi, u32(ct[4]), u32(ct[5]), qs)  # x * R
             oi = _fwd_stages(oi, ftwq_ref, ftwq_sh_ref, qs, n=n, bt=bt,
-                             tw_l=i)
+                             tw_l=i, lazy=lazy_ct)
         out_ref[:, i] = oi
 
 
