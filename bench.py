@@ -118,30 +118,41 @@ def main_narrow(quick, batch, iters):
     ct1 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(3), a, sk, params)
     ct2 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(4), b, sk, params)
 
-    mul = jax.jit(lambda x, y, r: nr.dbfv_mul(x, y, r))
+    import jax.numpy as jnp
+
+    def step_fn(x, y, r, z):
+        # z is a data-dependent zero from the previous step's output:
+        # adding it is an exact identity, but it serializes the steps on
+        # device, so one final block_until_ready measures true device time
+        # while host dispatch still overlaps.  (The earlier pipelined
+        # timer — enqueue N independent steps, block on the list — was
+        # seen under-waiting on the remote runtime: 0.48 ms/step at batch
+        # 512, below the HBM roofline.)
+        x = x.replace(limbs=x.limbs.replace(c0=x.limbs.c0 + z))
+        out = nr.dbfv_mul(x, y, r)
+        return out, out.limbs.c0[0, 0, 0, 0] & jnp.uint32(0)
+
+    mul = jax.jit(step_fn)
+    z = jnp.uint32(0)
     t0 = time.time()
-    out = mul(ct1, ct2, rlk)
+    out, z1 = mul(ct1, ct2, rlk, z)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
     if os.environ.get("BENCH_SEQ", "0") not in ("0", "false"):
-        # conservative mode: block every iteration (BENCH_SEQ=1).  Use to
-        # cross-check the pipelined number — the remote runtime has been
-        # seen under-waiting block_until_ready on large enqueued batches
-        # (reported 0.48 ms/step at batch 512, below the HBM roofline).
+        # conservative cross-check mode: block every iteration (BENCH_SEQ=1)
+        # — includes one transport round trip per step.
         best = float("inf")
         for _ in range(iters):
             t0 = time.time()
-            out = mul(ct1, ct2, rlk)
+            out, _ = mul(ct1, ct2, rlk, z)
             jax.block_until_ready(out)
             best = min(best, time.time() - t0)
     else:
-        # throughput: enqueue all steps, block once — host dispatch latency
-        # (tens of ms over the remote transport) overlaps device compute
         t0 = time.time()
-        outs = [mul(ct1, ct2, rlk) for _ in range(iters)]
-        jax.block_until_ready(outs)
+        for _ in range(iters):
+            out, z = mul(ct1, ct2, rlk, z)
+        jax.block_until_ready(z)
         best = (time.time() - t0) / iters
-        out = outs[-1]
     ops = batch / best
 
     def take0(tree):
