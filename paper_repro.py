@@ -85,14 +85,27 @@ def run_profile(profile: Profile, n: int, batch: int):
     enc_ms = min(times) * 1e3 / batch
     ct_b = jax.block_until_ready(enc(ks[3], vals_b))
 
-    add = jax.jit(dbfv_add)
-    jax.block_until_ready(add(ct_a, ct_b))
+    # A single add is ~free on device; timing one per dispatch bills the
+    # host->device transport round trip (tens of ms over the remote runtime)
+    # to the op.  Chain K data-dependent adds inside one jitted call so
+    # dispatch amortizes and the chain serializes on device (the modular
+    # conditional-subtract is nonlinear, so XLA cannot collapse the chain).
+    K_ADD = 64
+
+    def add_chain(x, y):
+        acc = x
+        for _ in range(K_ADD):
+            acc = dbfv_add(acc, y)
+        return acc
+
+    addk = jax.jit(add_chain)
+    jax.block_until_ready(addk(ct_a, ct_b))
     times = []
-    for _ in range(10):
+    for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(add(ct_a, ct_b))
+        jax.block_until_ready(addk(ct_a, ct_b))
         times.append(time.time() - t0)
-    add_us = min(times) * 1e6 / batch
+    add_us = min(times) * 1e6 / K_ADD / batch
 
     mul = jax.jit(lambda a, b, r: dbfv_mul(a, b, r))
     t0 = time.time()

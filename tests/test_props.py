@@ -117,3 +117,26 @@ def test_prop_dbfv_poly_vs_model(dbfv_setup):
     ct_b = dbfv_encrypt_poly_sk(jax.random.PRNGKey(51), pb, sk, params)
     got = dbfv_decrypt_poly(dbfv_add(ct_a, ct_b), sk)
     np.testing.assert_array_equal(got, (pa + pb) % 256)
+
+
+def test_prop_dbfv_sparse_poly_mul_vs_model(dbfv_setup):
+    """Random sparse polynomial dBFV *multiply* checked against the
+    independent negacyclic-convolution model — the missing mirror of
+    /root/reference/tests/protocol_props.rs:105-156 (the reference checks
+    sparse poly mul against a sparse convolution model)."""
+    params, sk, rlk = dbfv_setup
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        pa = np.zeros(N, dtype=np.uint64)
+        pb = np.zeros(N, dtype=np.uint64)
+        for _ in range(3):
+            pa[rng.integers(0, N)] = rng.integers(0, 256)
+            pb[rng.integers(0, N)] = rng.integers(0, 256)
+        ct_a = dbfv_encrypt_poly_sk(jax.random.PRNGKey(60 + trial), pa, sk,
+                                    params)
+        ct_b = dbfv_encrypt_poly_sk(jax.random.PRNGKey(80 + trial), pb, sk,
+                                    params)
+        got = dbfv_decrypt_poly(dbfv_mul(ct_a, ct_b, rlk), sk)
+        want = negacyclic_mul_host([int(x) for x in pa], [int(x) for x in pb],
+                                   256)
+        assert [int(x) for x in np.asarray(got).reshape(-1)] == want, trial
