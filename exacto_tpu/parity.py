@@ -129,13 +129,49 @@ class ChaCha20Rng:
         return cls(seed)
 
     def _generate(self):
-        out = []
-        for b in range(4):
-            ctr = self.counter + b
-            out.extend(chacha20_block(
-                self.key, (ctr & _M32, (ctr >> 32) & _M32), self.stream))
+        # all 4 blocks of the refill vectorized over one numpy axis
+        # (bit-identical to 4 scalar chacha20_block calls; _M32 wraps are
+        # native uint32 overflow)
+        ctrs = [self.counter + b for b in range(4)]
+        init = np.empty((16, 4), dtype=np.uint32)
+        consts = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)
+        for i in range(4):
+            init[i] = consts[i]
+        for i in range(8):
+            init[4 + i] = self.key[i]
+        init[12] = [c & _M32 for c in ctrs]
+        init[13] = [(c >> 32) & _M32 for c in ctrs]
+        init[14] = self.stream[0]
+        init[15] = self.stream[1]
+        s = init.copy()
+
+        def rotl(x, r):
+            return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+        def quarter(a, b, c, d):
+            s[a] += s[b]
+            s[d] = rotl(s[d] ^ s[a], 16)
+            s[c] += s[d]
+            s[b] = rotl(s[b] ^ s[c], 12)
+            s[a] += s[b]
+            s[d] = rotl(s[d] ^ s[a], 8)
+            s[c] += s[d]
+            s[b] = rotl(s[b] ^ s[c], 7)
+
+        with np.errstate(over="ignore"):
+            for _ in range(10):
+                quarter(0, 4, 8, 12)
+                quarter(1, 5, 9, 13)
+                quarter(2, 6, 10, 14)
+                quarter(3, 7, 11, 15)
+                quarter(0, 5, 10, 15)
+                quarter(1, 6, 11, 12)
+                quarter(2, 7, 8, 13)
+                quarter(3, 4, 9, 14)
+            s += init
         self.counter += 4
-        self.results = out
+        # word order: the four blocks' serialized states in sequence
+        self.results = [int(s[w, b]) for b in range(4) for w in range(16)]
 
     def _generate_and_set(self, index: int):
         self._generate()
@@ -211,26 +247,37 @@ def sample_binary_poly(n: int, modulus: int, rng: ChaCha20Rng) -> np.ndarray:
     return np.array([rng.random_u64() & 1 for _ in range(n)], dtype=np.uint64)
 
 
-def sample_discrete_gaussian(sigma: float, rng: ChaCha20Rng) -> int:
-    """gaussian.rs:38-70: per-sample f64 CDT rebuild + reverse scan.
+_CDT_CACHE: dict = {}
 
-    The reverse branchless scan selects the LOWEST i with u < cdf[i]
-    (default tail), reproduced here directly.
+
+def _cdt_table(sigma: float):
+    """The reference rebuilds the f64 CDT per sample (gaussian.rs:42-53),
+    but the rebuild is deterministic — same accumulation order, same values
+    — so caching it is bit-identical and ~40x faster."""
+    tab = _CDT_CACHE.get(sigma)
+    if tab is None:
+        tail = math.ceil(6.0 * sigma)
+        two_sigma_sq = 2.0 * sigma * sigma
+        cdf = []
+        cumulative = 0.0
+        for x in range(-tail, tail + 1):
+            cumulative += math.exp(-(float(x * x)) / two_sigma_sq)
+            cdf.append(cumulative)
+        tab = (tail, np.array(cdf, dtype=np.float64), cumulative)
+        _CDT_CACHE[sigma] = tab
+    return tab
+
+
+def sample_discrete_gaussian(sigma: float, rng: ChaCha20Rng) -> int:
+    """gaussian.rs:38-70: f64 CDT + reverse scan.
+
+    The scan selects the LOWEST i with u < cdf[i] (default tail), which is
+    exactly searchsorted-right on the cumulative table.
     """
-    tail = math.ceil(6.0 * sigma)
-    two_sigma_sq = 2.0 * sigma * sigma
-    cdf = []
-    cumulative = 0.0
-    for x in range(-tail, tail + 1):
-        cumulative += math.exp(-(float(x * x)) / two_sigma_sq)
-        cdf.append(cumulative)
-    u = rng.random_f64() * cumulative
-    result = tail
-    for i in range(len(cdf)):
-        if u < cdf[i]:
-            result = -tail + i
-            break
-    return result
+    tail, cdf, total = _cdt_table(sigma)
+    u = rng.random_f64() * total
+    idx = int(np.searchsorted(cdf, u, side="right"))
+    return -tail + min(idx, 2 * tail)
 
 
 def sample_gaussian_poly(n: int, modulus: int, sigma: float,
