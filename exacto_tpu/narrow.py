@@ -136,28 +136,43 @@ class NarrowParams:
     aux_basis: NarrowBasis = None
     delta_mont: jnp.ndarray = None  # [L] u32, Delta mod q_i in Montgomery form
 
+    gadget_mode: str = flax.struct.field(pytree_node=False, default="base")
+
     @classmethod
     def create(cls, n, plain_modulus, ct_moduli, aux_moduli, sigma=3.2,
-               gadget_base=1 << 16):
+               gadget_base=1 << 16, gadget_mode="auto"):
+        """gadget_mode: "base" = balanced power-of-two digits (needs the u64
+        CRT compose, so exactly 2 ct primes); "rns" = CRT-digit decomposition
+        (one digit per ct prime, any L — the keyswitch style every modern
+        RNS-BFV/CKKS library uses at large L); "auto" picks base at L=2."""
         ct_moduli = tuple(int(m) for m in ct_moduli)
         aux_moduli = tuple(int(m) for m in aux_moduli)
-        if len(ct_moduli) != 2:
-            raise InvalidParam("narrow engine requires exactly 2 ciphertext primes "
-                               "(keeps CRT composition in one u64)")
+        if len(ct_moduli) < 1:
+            raise InvalidParam("need at least one ciphertext prime")
+        if gadget_mode == "auto":
+            gadget_mode = "base" if len(ct_moduli) == 2 else "rns"
+        if gadget_mode == "base" and len(ct_moduli) != 2:
+            raise InvalidParam("balanced-base gadget needs exactly 2 ct "
+                               "primes (u64 CRT compose); use gadget_mode="
+                               "'rns' for general L")
         ct_basis = NarrowBasis.create(ct_moduli, n)
         aux_basis = NarrowBasis.create(aux_moduli, n)
         big_q = ct_basis.modulus_product
-        digits = 0
-        powv = 1
-        while powv < big_q:
-            powv *= gadget_base
-            digits += 1
+        if gadget_mode == "rns":
+            digits = len(ct_moduli)
+        else:
+            digits = 0
+            powv = 1
+            while powv < big_q:
+                powv *= gadget_base
+                digits += 1
         delta = big_q // plain_modulus
         dm = np.array([delta % m * (1 << 32) % m for m in ct_moduli],
                       dtype=np.uint64).astype(np.uint32)
         return cls(ring_degree=n, plain_modulus=int(plain_modulus),
                    moduli=ct_moduli, aux_moduli=aux_moduli, sigma=float(sigma),
                    gadget_base=int(gadget_base), gadget_digits=max(digits, 1),
+                   gadget_mode=gadget_mode,
                    ct_basis=ct_basis, aux_basis=aux_basis,
                    delta_mont=jnp.asarray(dm))
 
@@ -351,10 +366,7 @@ def gen_relin_key(key, sk: NarrowSecretKey) -> NarrowRelinKey:
     e = from_signed32(basis, sample_gaussian_signed(k_e, params.sigma,
                                                    (D, params.ring_degree)))
     s_sq = np_mul(basis, sk.poly, sk.poly)
-    g = np.array([[pow(params.gadget_base, i, m) * (1 << 32) % m
-                   for m in basis.moduli] for i in range(D)],
-                 dtype=np.uint64).astype(np.uint32)
-    g = jnp.asarray(g)[..., None]  # [D, L, 1]
+    g = jnp.asarray(_gadget_matrix(params))[..., None]  # [D, L, 1]
     q, qi = basis.b1()
     g_ssq = w32.mont_mul32(s_sq, g, q, qi)
     rlk0 = np_add(basis, np_neg(basis, np_add(basis, np_mul(basis, a, sk.poly), e)),
@@ -444,20 +456,21 @@ def decrypt(ct: NarrowCiphertext, sk: NarrowSecretKey) -> np.ndarray:
     res = np.asarray(to_coeff_residues32(basis, phase)).astype(np.uint64)
     from .native import available as native_ok, crt_round_scale
 
-    if native_ok():
+    if native_ok() and len(basis.moduli) == 2:
         return crt_round_scale(res, basis.moduli, params.plain_modulus)
+    # general-L host CRT + round-scale via numpy object bigints (vectorized
+    # over the whole batch; host verification path, not a hot op)
     big_q = params.big_q
-    q0, q1 = basis.moduli
-    t0 = (big_q // q0) * hm.mod_inv((big_q // q0) % q0, q0)
-    t1 = (big_q // q1) * hm.mod_inv((big_q // q1) % q1, q1)
-    flat = res.reshape(-1, 2, res.shape[-1])
-    out = np.zeros((flat.shape[0], res.shape[-1]), dtype=np.uint64)
+    ts = [(big_q // m) * hm.mod_inv((big_q // m) % m, m)
+          for m in basis.moduli]
+    obj = res.astype(object)
+    x = ts[0] * obj[..., 0, :]
+    for i in range(1, len(basis.moduli)):
+        x = x + ts[i] * obj[..., i, :]
+    x = x % big_q
     p = params.plain_modulus
-    for b in range(flat.shape[0]):
-        for j in range(res.shape[-1]):
-            x = (t0 * int(flat[b, 0, j]) + t1 * int(flat[b, 1, j])) % big_q
-            out[b, j] = ((x * p + big_q // 2) // big_q) % p
-    return out.reshape(res.shape[:-2] + (res.shape[-1],))
+    out = (x * p + big_q // 2) // big_q % p
+    return out.astype(np.uint64)
 
 
 # ---------------------------------------------------------------------------
@@ -542,11 +555,218 @@ def _narrow_hps_consts(moduli: tuple, aux_moduli: tuple, p: int):
     return c
 
 
+# ---------------------------------------------------------------------------
+# general-L glue: Garner mixed-radix over the ct primes (any L >= 1)
+# ---------------------------------------------------------------------------
+#
+# The 2-prime hot path composes t mod Q into one u64 pair.  For L > 2 (the
+# bootstrap's boot scheme needs Q_boot of 13+ narrow primes) every "compose"
+# becomes a Garner mixed-radix chain instead: digits v_j < q_j with
+# x = v_0 + q_0 (v_1 + q_1 (v_2 + ...)), sign via lexicographic digit
+# compare against floor(Q/2), and "x mod p" via a Horner sweep — all
+# single-u32 Shoup products, no wide accumulators at any L.  This is the
+# TPU-native replacement for the reference's BigInt multi-prime fallback
+# (/root/reference/src/bfv/eval.rs:113-147).
+
+
+@lru_cache(maxsize=None)
+def _garner_consts(moduli: tuple):
+    """Host tables for Garner decomposition over `moduli`: pairwise inverses
+    inv[j][i] = q_i^{-1} mod q_j (+ Shoup companions), the mixed-radix
+    digits of floor(Q/2) for the sign compare, and per-prime reduction
+    constants."""
+    sh = w32.shoup_const32
+    big = 1
+    for m in moduli:
+        big *= m
+    inv = tuple(tuple(hm.mod_inv(moduli[i] % mj, mj) for i in range(j))
+                for j, mj in enumerate(moduli))
+    inv_sh = tuple(tuple(sh(v, mj) for v in row)
+                   for row, mj in zip(inv, moduli))
+    half_digits = []
+    rem = big // 2
+    for mj in moduli:
+        half_digits.append(rem % mj)
+        rem //= mj
+    one_sh = tuple(w32.mont_consts32(m)["one_shoup"] for m in moduli)
+    return {"big": big, "inv": inv, "inv_sh": inv_sh,
+            "half_digits": tuple(half_digits), "one_sh": one_sh}
+
+
+def _garner_digits(moduli: tuple, res):
+    """Standard-form residues [..., L, n] -> (digits, neg): digits is a list
+    of L tensors [..., n] (digit j < q_j), neg the x > Q/2 mask."""
+    cst = _garner_consts(moduli)
+    vs = []
+    for j, mj in enumerate(moduli):
+        mjs = jnp.uint32(mj)
+        one_sh = jnp.uint32(cst["one_sh"][j])
+        x = res[..., j, :]
+        for i in range(j):
+            vi = w32.shoup_reduce32(vs[i], mjs, one_sh)
+            x = w32.mod_sub32(x, vi, mjs)
+            x = w32.shoup_mul32(x, jnp.uint32(cst["inv"][j][i]),
+                                jnp.uint32(cst["inv_sh"][j][i]), mjs)
+        vs.append(x)
+    neg = jnp.zeros_like(vs[0], dtype=bool)
+    for j in range(len(moduli)):
+        hj = jnp.uint32(cst["half_digits"][j])
+        neg = (vs[j] > hj) | ((vs[j] == hj) & neg)
+    return vs, neg
+
+
+@lru_cache(maxsize=None)
+def _horner_consts(moduli: tuple, p: int):
+    """Host: q_j mod p (+ Shoup) for the Horner sweep and Q mod p for the
+    centered correction, all w.r.t. target prime p."""
+    sh = w32.shoup_const32
+    cst = _garner_consts(moduli)
+    qmod = tuple(m % p for m in moduli)
+    return {"qmod": qmod, "qmod_sh": tuple(sh(v, p) for v in qmod),
+            "bigmod": cst["big"] % p,
+            "one_sh": w32.mont_consts32(p)["one_shoup"]}
+
+
+def _horner_mod(moduli: tuple, vs, neg, p: int):
+    """Centered x mod p from Garner digits: Horner top-down, then subtract
+    Q mod p where x > Q/2 (exact centered base extension to prime p)."""
+    hc = _horner_consts(moduli, p)
+    ps = jnp.uint32(p)
+    one_sh = jnp.uint32(hc["one_sh"])
+    L = len(moduli)
+    acc = w32.shoup_reduce32(vs[L - 1], ps, one_sh)
+    for j in range(L - 2, -1, -1):
+        vj = w32.shoup_reduce32(vs[j], ps, one_sh)
+        acc = w32.mod_add32(
+            w32.shoup_mul32(acc, jnp.uint32(hc["qmod"][j]),
+                            jnp.uint32(hc["qmod_sh"][j]), ps), vj, ps)
+    return jnp.where(neg, w32.mod_sub32(acc, jnp.uint32(hc["bigmod"]), ps),
+                     acc)
+
+
+def _extend_to_aux_general(params: NarrowParams, poly, res=None):
+    """Exact centered base extension Q -> aux for ANY number of ct primes
+    (Garner digits + per-aux Horner); the L=2 path keeps the fused u64
+    compose."""
+    if res is None:
+        res = to_coeff_residues32(params.ct_basis, poly)
+    vs, neg = _garner_digits(params.moduli, res)
+    outs = [_horner_mod(params.moduli, vs, neg, p)
+            for p in params.aux_moduli]
+    return from_coeff_residues32(params.aux_basis,
+                                 jnp.stack(outs, axis=-2))
+
+
+@lru_cache(maxsize=None)
+def _hps_general_consts(moduli: tuple, aux_moduli: tuple, p: int):
+    """Host constants for the general-L HPS scale (see
+    `_narrow_hps_scale_general`)."""
+    sh = w32.shoup_const32
+    big_q = 1
+    for m in moduli:
+        big_q *= m
+    big_p = 1
+    for m in aux_moduli:
+        big_p *= m
+    if not p < aux_moduli[0] - 1:
+        raise InvalidParam("general HPS scale needs plain modulus < first "
+                           "aux prime (round term lifts through it)")
+    qinv_pj = tuple(hm.mod_inv(big_q % m, m) for m in aux_moduli)
+    t_qi = tuple(p % m for m in moduli)
+    t_pj = tuple(p % m for m in aux_moduli)
+    pmodq = tuple(big_p % m for m in moduli)
+    return {
+        "qinv_pj": qinv_pj,
+        "qinv_pj_sh": tuple(sh(v, m) for v, m in zip(qinv_pj, aux_moduli)),
+        "t_qi": t_qi, "t_qi_sh": tuple(sh(v, m) for v, m in zip(t_qi, moduli)),
+        "t_p0": p % aux_moduli[0],
+        "t_p0_sh": sh(p % aux_moduli[0], aux_moduli[0]),
+        "pmodq": pmodq,
+        "half_p0": aux_moduli[0] // 2,
+    }
+
+
+def _narrow_hps_scale_general(params: NarrowParams, t_q, t_p, eval_out=True):
+    """round(t_plain * t / Q) mod q_i for ANY L ct primes, all-exact narrow
+    ops.  Split t = a + Q*m (a = centered t mod Q):
+
+      round(t_plain*t/Q) = t_plain*m + r,   r = round(t_plain*a/Q)
+
+    * a's Garner digits come from t_q directly; m = (t_p - a)*Q^{-1} mod p_j
+      per aux prime, then Garner over the aux basis -> m mod q_i (|m| < P/2
+      by the tensor-magnitude guard).
+    * r is SMALL (|r| <= t_plain/2 < p_0), so it lifts exactly through the
+      single aux prime p_0: r = (t_plain*a - rho)/Q with rho = centered
+      (t_plain*a mod Q), whose Garner digits come from the per-prime
+      residues t_plain*t_q_i.
+
+    Replaces the u64-pair + 64x128 fixed-point path (valid only at L=2);
+    reference role: hps_scale, /root/reference/src/bfv/eval.rs:257-413."""
+    moduli, aux_moduli = params.moduli, params.aux_moduli
+    t_plain = params.plain_modulus
+    cst = _hps_general_consts(moduli, aux_moduli, t_plain)
+    ctb, auxb = params.ct_basis, params.aux_basis
+    res_q = to_coeff_residues32(ctb, t_q)
+    res_p = to_coeff_residues32(auxb, t_p)
+
+    # digits of a = centered t mod Q
+    vs_a, neg_a = _garner_digits(moduli, res_q)
+    # digits of x_rho with x_rho = [t_plain * a]_Q (residues t_plain * t_q_i)
+    rho_res = jnp.stack(
+        [w32.shoup_mul32(res_q[..., i, :], jnp.uint32(cst["t_qi"][i]),
+                         jnp.uint32(cst["t_qi_sh"][i]), jnp.uint32(m))
+         for i, m in enumerate(moduli)], axis=-2)
+    vs_r, neg_r = _garner_digits(moduli, rho_res)
+
+    # m_j = (t_p_j - a mod p_j) * Q^{-1} mod p_j
+    m_list = []
+    a_p0 = None
+    for j, pj in enumerate(aux_moduli):
+        a_pj = _horner_mod(moduli, vs_a, neg_a, pj)
+        if j == 0:
+            a_p0 = a_pj
+        diff = w32.mod_sub32(res_p[..., j, :], a_pj, jnp.uint32(pj))
+        m_list.append(w32.shoup_mul32(diff, jnp.uint32(cst["qinv_pj"][j]),
+                                      jnp.uint32(cst["qinv_pj_sh"][j]),
+                                      jnp.uint32(pj)))
+
+    # r via p_0: r = (t_plain * a - rho) * Q^{-1} mod p_0, |r| <= t_plain/2
+    p0 = aux_moduli[0]
+    p0s = jnp.uint32(p0)
+    rho_p0 = _horner_mod(moduli, vs_r, neg_r, p0)
+    ta_p0 = w32.shoup_mul32(a_p0, jnp.uint32(cst["t_p0"]),
+                            jnp.uint32(cst["t_p0_sh"]), p0s)
+    r_p0 = w32.shoup_mul32(w32.mod_sub32(ta_p0, rho_p0, p0s),
+                           jnp.uint32(cst["qinv_pj"][0]),
+                           jnp.uint32(cst["qinv_pj_sh"][0]), p0s)
+    r_neg = r_p0 > jnp.uint32(cst["half_p0"])
+    r_mag = jnp.where(r_neg, p0s - r_p0, r_p0)  # |r| as u32 (< t_plain)
+
+    # m as integer via aux-basis Garner, then assemble per ct prime
+    vs_m, neg_m = _garner_digits(aux_moduli, jnp.stack(m_list, axis=-2))
+    outs = []
+    for i, qi in enumerate(moduli):
+        qis = jnp.uint32(qi)
+        one_sh = jnp.uint32(w32.mont_consts32(qi)["one_shoup"])
+        m_qi = _horner_mod(aux_moduli, vs_m, neg_m, qi)
+        pm = w32.shoup_mul32(m_qi, jnp.uint32(cst["t_qi"][i]),
+                             jnp.uint32(cst["t_qi_sh"][i]), qis)
+        r_qi = w32.shoup_reduce32(r_mag, qis, one_sh)
+        r_signed = jnp.where(r_neg, w32.mod_neg32(r_qi, qis), r_qi)
+        outs.append(w32.mod_add32(r_signed, pm, qis))
+    out = jnp.stack(outs, axis=-2)
+    if not eval_out:
+        return out
+    return from_coeff_residues32(ctb, out)
+
+
 def _extend_to_aux(params: NarrowParams, poly, res=None):
     """EXACT centered base extension Q -> aux primes for a narrow poly.
 
     `res` (standard-form coefficient residues, e.g. a ciphertext's coeff
     shadow) skips the INTT."""
+    if len(params.moduli) != 2:
+        return _extend_to_aux_general(params, poly, res=res)
     if res is None:
         res = to_coeff_residues32(params.ct_basis, poly)
     from .ops import ntt_pallas32 as npal
@@ -575,6 +795,8 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p, eval_out=True):
     eval_out=False returns standard-form coefficient residues (skips the
     output NTT — used for the c2 component, which feeds straight into the
     coefficient-domain gadget decomposition)."""
+    if len(params.moduli) != 2:
+        return _narrow_hps_scale_general(params, t_q, t_p, eval_out=eval_out)
     from .ops import ntt_pallas32 as npal
 
     if (_config.pallas_hps_enabled() and npal.supported(params.ring_degree)
@@ -706,6 +928,68 @@ def _gadget_digits32(params: NarrowParams, poly, res=None):
     return from_coeff_residues32(basis, digits)
 
 
+@lru_cache(maxsize=None)
+def _rns_gadget_consts(moduli: tuple):
+    """gamma_i = (Q/q_i)^{-1} mod q_i (the CRT-digit extractors) and the
+    gadget values g_i = Q/q_i mod q_j."""
+    sh = w32.shoup_const32
+    big = 1
+    for m in moduli:
+        big *= m
+    gamma = tuple(hm.mod_inv((big // m) % m, m) for m in moduli)
+    gmod = tuple(tuple((big // mi) % mj for mj in moduli) for mi in moduli)
+    return {"gamma": gamma,
+            "gamma_sh": tuple(sh(g, m) for g, m in zip(gamma, moduli)),
+            "gmod": gmod, "big": big}
+
+
+def _rns_digits32(params: NarrowParams, poly, res=None):
+    """CRT-digit decomposition -> [.., D=L, L, n] eval-Montgomery digits.
+
+    Digit i is the CENTERED per-prime value d_i = [x * gamma_i]_{q_i}
+    (|d_i| <= q_i/2), spread across all L primes; sum_i d_i * (Q/q_i) == x
+    (mod Q).  One Shoup product per digit — no CRT composition at all, the
+    reason every large-L RNS library key-switches this way.  Reference role:
+    gadget_decompose, /root/reference/src/bfv/keyswitch.rs:11-52."""
+    basis = params.ct_basis
+    moduli = params.moduli
+    if res is None:
+        res = to_coeff_residues32(basis, poly)
+    cst = _rns_gadget_consts(moduli)
+    outs = []
+    for i, qi in enumerate(moduli):
+        qis = jnp.uint32(qi)
+        wi = w32.shoup_mul32(res[..., i, :], jnp.uint32(cst["gamma"][i]),
+                             jnp.uint32(cst["gamma_sh"][i]), qis)
+        neg = wi > jnp.uint32(qi // 2)
+        mag = jnp.where(neg, qis - wi, wi)
+        rows = []
+        for j, qj in enumerate(moduli):
+            qjs = jnp.uint32(qj)
+            one_sh = jnp.uint32(w32.mont_consts32(qj)["one_shoup"])
+            m = w32.shoup_reduce32(mag, qjs, one_sh)
+            rows.append(jnp.where(neg & (m != 0), qjs - m, m))
+        outs.append(jnp.stack(rows, axis=-2))
+    digits = jnp.stack(outs, axis=-3)
+    return from_coeff_residues32(basis, digits)
+
+
+def _gadget_matrix(params: NarrowParams) -> np.ndarray:
+    """Montgomery-form gadget values [D, L] for keyswitch-key generation:
+    base mode g_i = B^i mod q_j; rns mode g_i = Q/q_i mod q_j."""
+    basis = params.ct_basis
+    if params.gadget_mode == "rns":
+        gmod = _rns_gadget_consts(params.moduli)["gmod"]
+        g = np.array([[gmod[i][j] * (1 << 32) % m
+                       for j, m in enumerate(basis.moduli)]
+                      for i in range(len(params.moduli))], dtype=np.uint64)
+    else:
+        g = np.array([[pow(params.gadget_base, i, m) * (1 << 32) % m
+                       for m in basis.moduli]
+                      for i in range(params.gadget_digits)], dtype=np.uint64)
+    return g.astype(np.uint32)
+
+
 def _keyswitch_dot32(params: NarrowParams, poly, k0, k1, res=None):
     """Gadget keyswitch inner product (sum_i d_i*k0_i, sum_i d_i*k1_i) for
     the balanced digits of `poly` (eval domain; pass `res` = its standard
@@ -716,14 +1000,19 @@ def _keyswitch_dot32(params: NarrowParams, poly, k0, k1, res=None):
     basis = params.ct_basis
     from .ops import ntt_pallas32 as npal
 
-    if (_config.pallas_relin_enabled() and npal.supported(params.ring_degree)
+    if (params.gadget_mode == "base"
+            and _config.pallas_relin_enabled()
+            and npal.supported(params.ring_degree)
             and (params.gadget_base & (params.gadget_base - 1)) == 0):
         if res is None:
             res = to_coeff_residues32(basis, poly)
         return npal.relin_dot_fused(
             res, k0, k1, params.moduli, params.gadget_base,
             params.gadget_digits, interpret=jax.default_backend() != "tpu")
-    digits = _gadget_digits32(params, poly, res=res)
+    if params.gadget_mode == "rns":
+        digits = _rns_digits32(params, poly, res=res)
+    else:
+        digits = _gadget_digits32(params, poly, res=res)
     q, qi = basis.b1()
     prod0 = w32.mont_mul32(digits, k0, q, qi)  # [.., D, L, n]
     prod1 = w32.mont_mul32(digits, k1, q, qi)
@@ -747,6 +1036,89 @@ def relinearize32(ct: NarrowCiphertext, rlk: NarrowRelinKey,
     return NarrowCiphertext(c0=np_add(basis, ct.c0, acc0),
                             c1=np_add(basis, ct.c1, acc1),
                             c2=None, params=params)
+
+
+# ---------------------------------------------------------------------------
+# single-ciphertext BFV ops (building blocks for the narrow bootstrap)
+# ---------------------------------------------------------------------------
+
+def ct_add(ct1: NarrowCiphertext, ct2: NarrowCiphertext) -> NarrowCiphertext:
+    basis = ct1.params.ct_basis
+    return NarrowCiphertext(
+        c0=np_add(basis, ct1.c0, ct2.c0), c1=np_add(basis, ct1.c1, ct2.c1),
+        c0c=_zip_shadow(np_add, basis, ct1.c0c, ct2.c0c),
+        c1c=_zip_shadow(np_add, basis, ct1.c1c, ct2.c1c),
+        params=ct1.params)
+
+
+def ct_sub(ct1: NarrowCiphertext, ct2: NarrowCiphertext) -> NarrowCiphertext:
+    basis = ct1.params.ct_basis
+    return NarrowCiphertext(
+        c0=np_sub(basis, ct1.c0, ct2.c0), c1=np_sub(basis, ct1.c1, ct2.c1),
+        c0c=_zip_shadow(np_sub, basis, ct1.c0c, ct2.c0c),
+        c1c=_zip_shadow(np_sub, basis, ct1.c1c, ct2.c1c),
+        params=ct1.params)
+
+
+def ct_neg(ct: NarrowCiphertext) -> NarrowCiphertext:
+    basis = ct.params.ct_basis
+    z = lambda c: None if c is None else np_neg(basis, c)
+    return NarrowCiphertext(c0=np_neg(basis, ct.c0), c1=np_neg(basis, ct.c1),
+                            c0c=z(ct.c0c), c1c=z(ct.c1c), params=ct.params)
+
+
+def ct_scalar_mul(ct: NarrowCiphertext, scalar: int) -> NarrowCiphertext:
+    """ct * integer scalar (mod t); pure per-prime Shoup scalar multiply."""
+    params = ct.params
+    f = lambda c: None if c is None else _scalar_mul_ct(params, c, scalar)
+    return NarrowCiphertext(c0=f(ct.c0), c1=f(ct.c1),
+                            c0c=f(ct.c0c), c1c=f(ct.c1c), params=params)
+
+
+def trivial_encrypt(coeffs_u64: np.ndarray, params: NarrowParams,
+                    delta_scale=True) -> NarrowCiphertext:
+    """Noiseless (Delta*m, 0) — reference trivial_encrypt,
+    /root/reference/src/bootstrap/digit_extract.rs:161-189."""
+    basis = params.ct_basis
+    lo, hi = w.to_pair_np(np.asarray(coeffs_u64, dtype=np.uint64))
+    m_poly = from_u64_coeffs32(basis, jnp.asarray(lo), jnp.asarray(hi))
+    if delta_scale:
+        q, qi = basis.b1()
+        m_poly = w32.mont_mul32(m_poly, params.delta_mont[:, None], q, qi)
+    return NarrowCiphertext(c0=m_poly, c1=jnp.zeros_like(m_poly),
+                            params=params)
+
+
+def bfv_mul32(ct1: NarrowCiphertext, ct2: NarrowCiphertext,
+              rlk: NarrowRelinKey) -> NarrowCiphertext:
+    """Single-ciphertext BFV multiply + relinearize over the narrow basis
+    (any L): dual-basis Karatsuba tensor product, exact HPS scale, gadget
+    keyswitch.  The workhorse of the bootstrap's digit-extraction squarings.
+    Reference: bfv_mul_and_relin, /root/reference/src/bfv/eval.rs:73-108."""
+    bp = ct1.params
+    ctb, auxb = bp.ct_basis, bp.aux_basis
+    qc = ctb.q.reshape(-1, 1)
+    qa = auxb.q.reshape(-1, 1)
+    e10 = _extend_to_aux(bp, ct1.c0, res=ct1.c0c)
+    e11 = _extend_to_aux(bp, ct1.c1, res=ct1.c1c)
+    e20 = _extend_to_aux(bp, ct2.c0, res=ct2.c0c)
+    e21 = _extend_to_aux(bp, ct2.c1, res=ct2.c1c)
+
+    def tensor(basis, q, a0, a1, b0, b1):
+        t0 = np_mul(basis, a0, b0)
+        t2 = np_mul(basis, a1, b1)
+        tm = np_mul(basis, w32.mod_add32(a0, a1, q),
+                    w32.mod_add32(b0, b1, q))
+        t1 = w32.mod_sub32(w32.mod_sub32(tm, t0, q), t2, q)
+        return t0, t1, t2
+
+    tq = tensor(ctb, qc, ct1.c0, ct1.c1, ct2.c0, ct2.c1)
+    tp = tensor(auxb, qa, e10, e11, e20, e21)
+    r0 = _narrow_hps_scale(bp, tq[0], tp[0])
+    r1 = _narrow_hps_scale(bp, tq[1], tp[1])
+    r2_res = _narrow_hps_scale(bp, tq[2], tp[2], eval_out=False)
+    return relinearize32(NarrowCiphertext(c0=r0, c1=r1, params=bp), rlk,
+                         c2_res=r2_res)
 
 
 # ---------------------------------------------------------------------------
@@ -895,11 +1267,9 @@ def gen_galois_key(key, sk: NarrowSecretKey, element: int) -> NarrowGaloisKey:
     a = sample_uniform32(k_a, basis, (D,))
     e = from_signed32(basis, sample_gaussian_signed(
         k_e, params.sigma, (D, params.ring_degree)))
-    g = np.array([[pow(params.gadget_base, i, m) * (1 << 32) % m
-                   for m in basis.moduli] for i in range(D)],
-                 dtype=np.uint64).astype(np.uint32)
+    g = jnp.asarray(_gadget_matrix(params))[..., None]
     q, qi = basis.b1()
-    g_target = w32.mont_mul32(s_auto, jnp.asarray(g)[..., None], q, qi)
+    g_target = w32.mont_mul32(s_auto, g, q, qi)
     ks0 = np_add(basis, np_neg(basis, np_add(basis, np_mul(basis, a, sk.poly), e)),
                  g_target)
     return NarrowGaloisKey(ks0=ks0, ks1=a, element=int(element), params=params)
