@@ -19,6 +19,15 @@ import jax  # noqa: E402
 # 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# CPU jit compiles of the same programs run-over-run; caching them on disk
+# cuts repeat runs several-fold.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("EXACTO_TPU_COMPCACHE",
+                                 "/tmp/exacto_tpu_compcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -45,6 +45,11 @@ DBFV_VALUES = {"compact_dbfv": 200, "u64_dbfv": 0x0123456789ABCDEF}
 
 
 def build_vectors():
+    import jax
+
+    # the axon TPU plugin latches jax_platforms via sitecustomize; force CPU
+    # at runtime so vector generation never waits on the device tunnel
+    jax.config.update("jax_platforms", "cpu")
     from exacto_tpu import parity
     from exacto_tpu.bfv.encoding import Plaintext
     from exacto_tpu.params.presets import (compact_bfv, compact_dbfv,
