@@ -196,6 +196,39 @@ def main_narrow(quick, batch, iters):
     except Exception:
         ok = False
 
+    extra = {}
+    if not quick and os.environ.get("BENCH_SWEEP", "1") not in ("0", "false"):
+        # (a) blocking-per-step cross-check at the same batch: guards the
+        # chained-zero timer against runtime under-wait (mean, like above)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            o, _ = mul(ct1, ct2, rlk, z)
+            jax.block_until_ready(o)
+            times.append(time.time() - t0)
+        extra["seq_step_ms"] = round(sum(times) / len(times) * 1e3, 2)
+        # (b) batch-512 scaling point (fresh compile at the larger shape)
+        try:
+            b2 = 2 * batch
+            a2 = rng.integers(0, 1 << 63, size=b2, dtype=np.uint64) * 2 + 1
+            bb2 = rng.integers(0, 1 << 63, size=b2, dtype=np.uint64) * 2 + 1
+            c1 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(5), a2, sk, params)
+            c2 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(6), bb2, sk, params)
+            o2, z2 = mul(c1, c2, rlk, jnp.uint32(0))
+            jax.block_until_ready(o2)
+            t0 = time.time()
+            for _ in range(iters):
+                o2, z2 = mul(c1, c2, rlk, z2)
+            jax.block_until_ready(z2)
+            dt2 = (time.time() - t0) / iters
+            extra["b%d_step_ms" % b2] = round(dt2 * 1e3, 2)
+            extra["b%d_ops_s" % b2] = round(b2 / dt2, 2)
+            # throughput at 2x batch over 1x batch: 1.0 = perfect weak
+            # scaling of the batch axis on one chip
+            extra["batch_scaling_eff"] = round((b2 / dt2) / (2 * ops), 3)
+        except Exception as exc:  # noqa: BLE001 - report, don't fail bench
+            extra["sweep_error"] = str(exc)[:120]
+
     print(json.dumps({
         "metric": "batched u64 dBFV muls/sec/chip (p=2^64, d=8, b=256, n=%d, "
                   "narrow RNS)" % n,
@@ -207,6 +240,7 @@ def main_narrow(quick, batch, iters):
         "stat": "mean",
         "compile_s": round(compile_s, 1),
         "parity_check": ok,
+        **extra,
     }))
 
 

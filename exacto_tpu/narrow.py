@@ -225,6 +225,17 @@ def u64_dbfv_fast(n: int = 4096) -> NarrowDbfvParams:
     qs = find_narrow_primes(n, 2, 30)
     ps = find_narrow_primes(n, 3, 30, skip=qs)
     bfv = NarrowParams.create(n, 1040407, qs, ps, gadget_base=1 << 21)
+    if n >= 4096:
+        # production shape: enforce the calibrated security estimate
+        import math
+
+        from .params.security import estimate_security_bits
+
+        log2q = math.log2(bfv.big_q)
+        est = estimate_security_bits(n, log2q)
+        if est < 128:
+            raise InvalidParam(
+                f"u64_dbfv_fast(n={n}): estimated security {est:.0f} < 128")
     return NarrowDbfvParams(base=256, num_digits=8, plain_modulus=0, bfv=bfv)
 
 
@@ -313,6 +324,10 @@ def sample_uniform32(key, basis, batch_shape=()):
 class NarrowSecretKey:
     poly: jnp.ndarray = None
     params: NarrowParams = None
+    # signed ternary coefficients [n] int32 — kept so the bootstrap can
+    # re-embed the same secret in the boot basis (circular security,
+    # reference bfv_host.rs:292-325) and noise meters can phase-check
+    signed: jnp.ndarray = None
 
 
 @flax.struct.dataclass
@@ -342,7 +357,8 @@ def gen_secret_key(key, params: NarrowParams,
         signs = jax.random.bits(k_sign, shape=(params.ring_degree,),
                                 dtype=jnp.uint32) & 1
         s = mask * jnp.where(signs == 1, 1, -1).astype(jnp.int32)
-    return NarrowSecretKey(poly=from_signed32(params.ct_basis, s), params=params)
+    return NarrowSecretKey(poly=from_signed32(params.ct_basis, s),
+                           params=params, signed=s)
 
 
 def gen_public_key(key, sk: NarrowSecretKey) -> NarrowPublicKey:

@@ -1,181 +1,267 @@
-"""Fused negacyclic NTT as a Pallas TPU kernel.
+"""Fused negacyclic NTT for the WIDE (u64-pair) engine as a Pallas kernel.
 
-The jnp NTT in :mod:`exacto_tpu.ring.ntt` materializes the full tensor in
-HBM between butterfly stages; this kernel keeps a [Bt, n] tile of the
-polynomial batch resident in VMEM across ALL log2(n) stages, with the
-twiddle table also VMEM-resident — one HBM read and one write per transform
-instead of one per stage.
+Round 1's version expressed butterflies with in-kernel [bt, m, 2, t]
+reshapes, which Mosaic refuses to lower; it shipped dead (interpret-only).
+This rewrite ports the XOR-partner roll formulation proven out in
+`ops/ntt_pallas32.py` to pair (lo, hi) arithmetic: the tile is [bt, R, 128]
+per word, every stage is partner(j) = j ^ t via two static circular rolls
+plus a select (t < 128: lane rolls; t >= 128: sublane-row rolls), and the
+butterfly is the same 32-bit-lane Montgomery pair code as the jnp path
+(`ring.wordops`), so results are bit-identical to `ring.ntt.ntt_fwd/inv`.
 
-Grid: (L, batch_blocks).  Per-prime Montgomery constants ride a scalar table
-in SMEM; the butterfly arithmetic is the same 32-bit-lane Montgomery code as
-the jnp path (exacto_tpu.ring.wordops), so results are bit-identical.
+The jnp wide NTT materializes the tensor in HBM between all log2(n) stages;
+this kernel holds the pair tile in VMEM across every stage — one read and
+one write per transform — and folds the to/from-Montgomery conversions in:
 
-Enabled on TPU via EXACTO_TPU_PALLAS_NTT=1 (see exacto_tpu.ring.rns); the
-jnp path remains the portable reference.
+  * forward: optional pre-multiply by R^2 (to-Montgomery) for standard-form
+    inputs, then CT/LN stages (bit-reversed output, psi merged);
+  * inverse: GS stages then multiply by n^{-1} (standard form), which both
+    inverts n and strips the Montgomery factor — standard-form output,
+    exactly `from_mont(ntt_inv(...))`.
+
+Reference NTT being replaced: /root/reference/src/ring/ntt.rs (concrete-ntt
+Plan::fwd/inv) at the reference's own 60-bit moduli.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
-try:  # pltpu is only importable with a TPU-capable jaxlib
+try:  # pltpu only imports with a TPU-capable jaxlib
     from jax.experimental.pallas import tpu as pltpu
 except Exception:  # pragma: no cover
     pltpu = None
 
+from ..ring import hostmath as hm
 from ..ring import wordops as w
 
-
-def _stage_fwd(lo, hi, s_lo, s_hi, q, qinv, m, t, bt, n):
-    """One forward CT butterfly stage on a [bt, n] tile."""
-    lo_r = lo.reshape(bt, m, 2, t)
-    hi_r = hi.reshape(bt, m, 2, t)
-    u = (lo_r[:, :, 0, :], hi_r[:, :, 0, :])
-    s = (s_lo.reshape(1, m, 1), s_hi.reshape(1, m, 1))
-    v = w.mont_mul((lo_r[:, :, 1, :], hi_r[:, :, 1, :]), s, q, qinv)
-    top = w.mod_add64(u, v, q)
-    bot = w.mod_sub64(u, v, q)
-    lo = jnp.stack([top[0], bot[0]], axis=2).reshape(bt, n)
-    hi = jnp.stack([top[1], bot[1]], axis=2).reshape(bt, n)
-    return lo, hi
+_LANES = 128
 
 
-def _stage_inv(lo, hi, s_lo, s_hi, q, qinv, h, t, bt, n):
-    """One inverse GS butterfly stage on a [bt, n] tile."""
-    lo_r = lo.reshape(bt, h, 2, t)
-    hi_r = hi.reshape(bt, h, 2, t)
-    u = (lo_r[:, :, 0, :], hi_r[:, :, 0, :])
-    v = (lo_r[:, :, 1, :], hi_r[:, :, 1, :])
-    top = w.mod_add64(u, v, q)
-    diff = w.mod_sub64(u, v, q)
-    s = (s_lo.reshape(1, h, 1), s_hi.reshape(1, h, 1))
-    bot = w.mont_mul(diff, s, q, qinv)
-    lo = jnp.stack([top[0], bot[0]], axis=2).reshape(bt, n)
-    hi = jnp.stack([top[1], bot[1]], axis=2).reshape(bt, n)
-    return lo, hi
+def _roll(x, shift, axis):
+    if pltpu is not None:
+        return pltpu.roll(x, shift, axis)
+    return jnp.roll(x, shift, axis)  # pragma: no cover (interpret fallback)
 
 
-def _fwd_kernel(consts_ref, lo_ref, hi_ref, psi_lo_ref, psi_hi_ref,
-                out_lo_ref, out_hi_ref, *, n, bt):
-    q = (consts_ref[0, 0], consts_ref[0, 1])
-    qinv = (consts_ref[0, 2], consts_ref[0, 3])
-    lo = lo_ref[0]
-    hi = hi_ref[0]
-    m, t = 1, n
-    while m < n:
-        t //= 2
-        s_lo = psi_lo_ref[0, pl.ds(m, m)]
-        s_hi = psi_hi_ref[0, pl.ds(m, m)]
-        lo, hi = _stage_fwd(lo, hi, s_lo, s_hi, q, qinv, m, t, bt, n)
-        m *= 2
-    out_lo_ref[0] = lo
-    out_hi_ref[0] = hi
+def _partner_pair(lo, hi, t, R):
+    """(u, v, mask) pairs for the XOR butterfly at stride t on [bt, R, 128]
+    word planes; mask True at the low element of each pair."""
+    if t < _LANES:
+        col = jax.lax.broadcasted_iota(jnp.uint32, (1, R, _LANES), 2)
+        mask = (col & jnp.uint32(t)) == 0
+        f_lo, f_hi = (_roll(lo, -t % _LANES, 2), _roll(hi, -t % _LANES, 2))
+        b_lo, b_hi = (_roll(lo, t, 2), _roll(hi, t, 2))
+    else:
+        rt = t // _LANES
+        row = jax.lax.broadcasted_iota(jnp.uint32, (1, R, _LANES), 1)
+        mask = (row & jnp.uint32(rt)) == 0
+        f_lo, f_hi = (_roll(lo, -rt % R, 1), _roll(hi, -rt % R, 1))
+        b_lo, b_hi = (_roll(lo, rt, 1), _roll(hi, rt, 1))
+    u = (jnp.where(mask, lo, b_lo), jnp.where(mask, hi, b_hi))
+    v = (jnp.where(mask, f_lo, lo), jnp.where(mask, f_hi, hi))
+    return u, v, mask
 
 
-def _inv_kernel(consts_ref, lo_ref, hi_ref, psi_lo_ref, psi_hi_ref,
-                out_lo_ref, out_hi_ref, *, n, bt):
-    q = (consts_ref[0, 0], consts_ref[0, 1])
-    qinv = (consts_ref[0, 2], consts_ref[0, 3])
-    ninv = ((consts_ref[0, 4], consts_ref[0, 5]))
-    lo = lo_ref[0]
-    hi = hi_ref[0]
-    t, m = 1, n
-    while m > 1:
-        h = m // 2
-        s_lo = psi_lo_ref[0, pl.ds(h, h)]
-        s_hi = psi_hi_ref[0, pl.ds(h, h)]
-        lo, hi = _stage_inv(lo, hi, s_lo, s_hi, q, qinv, h, t, bt, n)
-        t *= 2
-        m = h
-    lo, hi = w.mont_mul((lo, hi), (ninv[0], ninv[1]), q, qinv)
-    out_lo_ref[0] = lo
-    out_hi_ref[0] = hi
+def _fwd_kernel(consts_ref, lo_ref, hi_ref, tw_lo_ref, tw_hi_ref,
+                out_lo_ref, out_hi_ref, *, n, bt, pre):
+    l = pl.program_id(0)
+    q = (consts_ref[l, 0], consts_ref[l, 1])
+    qinv = (consts_ref[l, 2], consts_ref[l, 3])
+    R = n // _LANES
+    logn = n.bit_length() - 1
+    lo = lo_ref[:, 0]
+    hi = hi_ref[:, 0]
+    if pre:  # to-Montgomery: x * R^2 * R^{-1}
+        r2 = (consts_ref[l, 4], consts_ref[l, 5])
+        lo, hi = w.mont_mul((lo, hi), r2, q, qinv)
+    for s in range(logn):
+        t = n >> (s + 1)
+        u, v, mask = _partner_pair(lo, hi, t, R)
+        sv = (tw_lo_ref[l, s], tw_hi_ref[l, s])
+        wv = w.mont_mul(v, sv, q, qinv)
+        top = w.mod_add64(u, wv, q)
+        bot = w.mod_sub64(u, wv, q)
+        lo = jnp.where(mask, top[0], bot[0])
+        hi = jnp.where(mask, top[1], bot[1])
+    out_lo_ref[:, 0] = lo
+    out_hi_ref[:, 0] = hi
 
 
-def _build_call(kernel, n, bt, L, nb, interpret):
-    kfn = partial(kernel, n=n, bt=bt)
-    grid = (L, nb)
-    specs_in = [
-        pl.BlockSpec((1, 8), lambda l, b: (l, 0),
-                     memory_space=pltpu.SMEM if pltpu else None),
-        pl.BlockSpec((1, bt, n), lambda l, b: (l, b, 0)),
-        pl.BlockSpec((1, bt, n), lambda l, b: (l, b, 0)),
-        pl.BlockSpec((1, n), lambda l, b: (l, 0)),
-        pl.BlockSpec((1, n), lambda l, b: (l, 0)),
-    ]
-    specs_out = [
-        pl.BlockSpec((1, bt, n), lambda l, b: (l, b, 0)),
-        pl.BlockSpec((1, bt, n), lambda l, b: (l, b, 0)),
-    ]
+def _inv_kernel(consts_ref, lo_ref, hi_ref, tw_lo_ref, tw_hi_ref,
+                out_lo_ref, out_hi_ref, *, n, bt, post):
+    l = pl.program_id(0)
+    q = (consts_ref[l, 0], consts_ref[l, 1])
+    qinv = (consts_ref[l, 2], consts_ref[l, 3])
+    R = n // _LANES
+    logn = n.bit_length() - 1
+    lo = lo_ref[:, 0]
+    hi = hi_ref[:, 0]
+    for s in range(logn):
+        t = 1 << s
+        u, v, mask = _partner_pair(lo, hi, t, R)
+        top = w.mod_add64(u, v, q)
+        diff = w.mod_sub64(u, v, q)
+        sv = (tw_lo_ref[l, s], tw_hi_ref[l, s])
+        bot = w.mont_mul(diff, sv, q, qinv)
+        lo = jnp.where(mask, top[0], bot[0])
+        hi = jnp.where(mask, top[1], bot[1])
+    # post scalar: ninv Montgomery pair (keeps Montgomery) or standard-form
+    # ninv (fuses from-Montgomery: output standard residues)
+    pv = (consts_ref[l, 6], consts_ref[l, 7])
+    lo, hi = w.mont_mul((lo, hi), pv, q, qinv)
+    out_lo_ref[:, 0] = lo
+    out_hi_ref[:, 0] = hi
+
+
+@lru_cache(maxsize=None)
+def _stage_tables(moduli: tuple, n: int):
+    """Per-stage full Montgomery twiddle vectors (pair words) + consts.
+
+    fwd[s][j] = psi_rev_mont[2^s + (j >> (logn - s))]
+    inv[s][j] = ipsi_rev_mont[(n >> (s+1)) + (j >> (s+1))]
+    consts rows: q, qinv_neg, r2, ninv_mont, ninv_std (pairs flattened).
+    """
+    logn = n.bit_length() - 1
+    R = 1 << 64
+    j = np.arange(n)
+    L = len(moduli)
+    fwd = np.zeros((L, logn, n), dtype=np.uint64)
+    inv = np.zeros((L, logn, n), dtype=np.uint64)
+    consts = np.zeros((L, 10), dtype=np.uint64)
+    for li, q in enumerate(moduli):
+        psi = hm.psi_2n(q, n)
+        ipsi = hm.mod_inv(psi, q)
+        psi_rev = np.zeros(n, dtype=np.uint64)
+        ipsi_rev = np.zeros(n, dtype=np.uint64)
+        for i in range(n):
+            e = hm.bit_reverse(i, logn)
+            psi_rev[i] = pow(psi, e, q) * R % q
+            ipsi_rev[i] = pow(ipsi, e, q) * R % q
+        fidx = [(1 << s) + (j >> (logn - s)) for s in range(logn)]
+        iidx = [(n >> (s + 1)) + (j >> (s + 1)) for s in range(logn)]
+        for s in range(logn):
+            fwd[li, s] = psi_rev[fidx[s]]
+            inv[li, s] = ipsi_rev[iidx[s]]
+        qinv = q
+        for _ in range(6):
+            qinv = (qinv * (2 - q * qinv)) % (1 << 64)
+        ninv = hm.mod_inv(n, q)
+        consts[li] = (q & 0xFFFFFFFF, q >> 32,
+                      (-qinv) % (1 << 64) & 0xFFFFFFFF,
+                      ((-qinv) % (1 << 64)) >> 32,
+                      (R * R % q) & 0xFFFFFFFF, (R * R % q) >> 32,
+                      0, 0,
+                      (ninv * R % q) & 0xFFFFFFFF, (ninv * R % q) >> 32)
+        # slot 6-7 filled per post mode at call time; 8-9 = ninv Montgomery
+        consts[li, 6] = ninv & 0xFFFFFFFF        # standard form (fused)
+        consts[li, 7] = ninv >> 32
+    sh = (L, logn, n // _LANES, _LANES)
+
+    def pairs(a):
+        return ((a & 0xFFFFFFFF).astype(np.uint32),
+                (a >> 32).astype(np.uint32))
+
+    return (pairs(fwd.reshape(sh)), pairs(inv.reshape(sh)),
+            consts)
+
+
+def _consts_u32(consts: np.ndarray, post_mont: bool) -> np.ndarray:
+    out = np.zeros((consts.shape[0], 8), dtype=np.uint32)
+    out[:, 0] = consts[:, 0]
+    out[:, 1] = consts[:, 1]
+    out[:, 2] = consts[:, 2]
+    out[:, 3] = consts[:, 3]
+    out[:, 4] = consts[:, 4]
+    out[:, 5] = consts[:, 5]
+    if post_mont:
+        out[:, 6] = consts[:, 8]
+        out[:, 7] = consts[:, 9]
+    else:
+        out[:, 6] = consts[:, 6]
+        out[:, 7] = consts[:, 7]
+    return out
+
+
+def _pick_bt(B: int, n: int) -> int:
+    """Pair tiles + pair temps: ~16 live [bt, n] u32 planes within ~4MB."""
+    cap = max(1, (4 << 20) // (n * 4 * 16))
+    bt = min(B, cap)
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+@lru_cache(maxsize=None)
+def _build(kernel_name: str, n: int, bt: int, L: int, nb: int, flag: bool,
+           interpret: bool):
+    R = n // _LANES
+    logn = n.bit_length() - 1
+    if kernel_name == "fwd":
+        kfn = partial(_fwd_kernel, n=n, bt=bt, pre=flag)
+    else:
+        kfn = partial(_inv_kernel, n=n, bt=bt, post=flag)
+    smem = pltpu.SMEM if pltpu is not None else None
+    vmem = pltpu.VMEM if pltpu is not None else None
+    tw_spec = pl.BlockSpec((1, logn, R, _LANES), lambda l, b: (l, 0, 0, 0),
+                           memory_space=vmem)
+    x_spec = pl.BlockSpec((bt, 1, R, _LANES), lambda l, b: (b, l, 0, 0),
+                          memory_space=vmem)
+    out = jax.ShapeDtypeStruct((nb * bt, L, R, _LANES), jnp.uint32)
     return pl.pallas_call(
         kfn,
-        grid=grid,
-        in_specs=specs_in,
-        out_specs=specs_out,
-        out_shape=[
-            jax.ShapeDtypeStruct((L, nb * bt, n), jnp.uint32),
-            jax.ShapeDtypeStruct((L, nb * bt, n), jnp.uint32),
+        grid=(L, nb),
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda l, b: (0, 0), memory_space=smem),
+            x_spec, x_spec, tw_spec, tw_spec,
         ],
+        out_specs=[x_spec, x_spec],
+        out_shape=[out, out],
         interpret=interpret,
     )
 
 
-def _prep(x, basis):
-    """[..., L, n] pair -> ([L, B, n] lo, hi), plus reshape info."""
-    lo, hi = x
+def supported(n: int) -> bool:
+    return n >= 2 * _LANES and (n & (n - 1)) == 0
+
+
+def _run(kernel_name: str, pair, moduli: tuple, flag: bool, interpret: bool):
+    lo, hi = pair
     n = lo.shape[-1]
     L = lo.shape[-2]
     batch = lo.shape[:-2]
     B = 1
     for s in batch:
         B *= s
-    lo2 = jnp.moveaxis(lo.reshape(B, L, n), 1, 0)
-    hi2 = jnp.moveaxis(hi.reshape(B, L, n), 1, 0)
-    return lo2, hi2, batch, B, L, n
-
-
-def _consts_table(basis):
-    """[L, 8] uint32 SMEM table: q, qinv, ninv as (lo, hi) pairs."""
-    return jnp.stack([
-        basis.q[0], basis.q[1], basis.qinv[0], basis.qinv[1],
-        basis.ninv[0], basis.ninv[1],
-        jnp.zeros_like(basis.q[0]), jnp.zeros_like(basis.q[0]),
-    ], axis=1)
-
-
-def _pick_bt(B, n):
-    """VMEM tile: keep ~<= 4MB of live u32 data."""
-    budget = (1 << 20)  # elements of u32 kept in flight (x2 arrays x temps)
-    bt = max(1, min(B, budget // max(n, 1)))
-    # power-of-two-ish tiling that divides B
-    while B % bt:
-        bt -= 1
-    return bt
-
-
-def ntt_fwd_pallas(x, basis, interpret=False):
-    """Drop-in for ring.ntt.ntt_fwd on [..., L, n] pairs."""
-    lo2, hi2, batch, B, L, n = _prep(x, basis)
+    (fwd_lo, fwd_hi), (inv_lo, inv_hi), consts_np = _stage_tables(moduli, n)
+    if kernel_name == "fwd":
+        tw = (jnp.asarray(fwd_lo), jnp.asarray(fwd_hi))
+        consts = _consts_u32(consts_np, post_mont=True)  # post unused by fwd
+    else:
+        tw = (jnp.asarray(inv_lo), jnp.asarray(inv_hi))
+        # flag = from_mont: standard-form ninv fuses from-Montgomery out
+        consts = _consts_u32(consts_np, post_mont=not flag)
+    R = n // _LANES
     bt = _pick_bt(B, n)
-    call = _build_call(_fwd_kernel, n, bt, L, B // bt, interpret)
-    out_lo, out_hi = call(_consts_table(basis), lo2, hi2,
-                          basis.psi_rev[0], basis.psi_rev[1])
-    lo = jnp.moveaxis(out_lo, 0, 1).reshape(*batch, L, n)
-    hi = jnp.moveaxis(out_hi, 0, 1).reshape(*batch, L, n)
-    return lo, hi
+    call = _build(kernel_name, n, bt, L, B // bt, flag, interpret)
+    lo4 = lo.reshape(B, L, R, _LANES)
+    hi4 = hi.reshape(B, L, R, _LANES)
+    olo, ohi = call(jnp.asarray(consts), lo4, hi4, tw[0], tw[1])
+    return (olo.reshape(*batch, L, n), ohi.reshape(*batch, L, n))
 
 
-def ntt_inv_pallas(x, basis, interpret=False):
-    """Drop-in for ring.ntt.ntt_inv on [..., L, n] pairs."""
-    lo2, hi2, batch, B, L, n = _prep(x, basis)
-    bt = _pick_bt(B, n)
-    call = _build_call(_inv_kernel, n, bt, L, B // bt, interpret)
-    out_lo, out_hi = call(_consts_table(basis), lo2, hi2,
-                          basis.ipsi_rev[0], basis.ipsi_rev[1])
-    lo = jnp.moveaxis(out_lo, 0, 1).reshape(*batch, L, n)
-    hi = jnp.moveaxis(out_hi, 0, 1).reshape(*batch, L, n)
-    return lo, hi
+def ntt_fwd_fused(pair, moduli, *, to_mont=False, interpret=False):
+    """Forward NTT on a (lo, hi) pair [..., L, n]; Montgomery domain
+    (optionally folding standard->Montgomery in)."""
+    return _run("fwd", pair, tuple(moduli), to_mont, interpret)
+
+
+def ntt_inv_fused(pair, moduli, *, from_mont=False, interpret=False):
+    """Inverse NTT; from_mont=True emits STANDARD-form residues (the
+    n^{-1}-standard final multiply strips the Montgomery factor)."""
+    return _run("inv", pair, tuple(moduli), from_mont, interpret)

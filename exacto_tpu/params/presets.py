@@ -29,12 +29,16 @@ def compact_bfv() -> BfvParams:
 
 @lru_cache(maxsize=None)
 def small_bfv() -> BfvParams:
-    """n=4096, p=65537, 60-bit q (reference presets.rs:39-51)."""
+    """n=4096, p=65537, 60-bit q (reference presets.rs:39-51).
+
+    Production preset: the calibrated security estimate (HE-standard
+    anchors, params/security.py) is ENFORCED at >= 128 bits."""
     return (BfvParamsBuilder()
             .ring_degree(4096)
             .plain_modulus(65537)
             .ct_moduli([576460752308273153])
             .sigma(3.2)
+            .min_security_bits(128)
             .build())
 
 
@@ -49,6 +53,7 @@ def u64_dbfv() -> DbfvParams:
            .aux_moduli([PRIME_54_AUX, PRIME_55_AUX])
            .gadget_base(256)
            .sigma(3.2)
+           .min_security_bits(128)
            .build())
     return DbfvParams.create(bfv, base=256, num_digits=8, plain_modulus=0)
 

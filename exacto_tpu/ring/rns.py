@@ -211,8 +211,25 @@ def rp_scalar_mul(basis: RnsBasis, a: RnsPoly, scalar_mont: tuple) -> RnsPoly:
 # domain conversions
 # ---------------------------------------------------------------------------
 
+def _use_fused_ntt(basis: RnsBasis) -> bool:
+    import jax
+
+    from .. import config as _config
+    from ..ops import ntt_pallas as wpal
+
+    return _config.pallas_ntt_enabled() and wpal.supported(basis.ring_degree)
+
+
 def from_coeff_residues(basis: RnsBasis, residues) -> RnsPoly:
     """Standard-form residues [..., L, n] (u64 pair, < q_i) -> NTT-Montgomery."""
+    if _use_fused_ntt(basis):
+        import jax
+
+        from ..ops import ntt_pallas as wpal
+
+        lo, hi = wpal.ntt_fwd_fused(residues, basis.moduli, to_mont=True,
+                                    interpret=jax.default_backend() != "tpu")
+        return RnsPoly(lo=lo, hi=hi)
     mont = w.to_mont(residues, basis.bq(1), basis.bqinv(1), basis.br2(1))
     lo, hi = nttmod.ntt_fwd(mont, basis.psi_rev, basis.q, basis.qinv)
     return RnsPoly(lo=lo, hi=hi)
@@ -221,6 +238,13 @@ def from_coeff_residues(basis: RnsBasis, residues) -> RnsPoly:
 def to_coeff_residues(basis: RnsBasis, poly: RnsPoly):
     """NTT-Montgomery -> standard-form coefficient residues [..., L, n] pair."""
     _check(basis, poly)
+    if _use_fused_ntt(basis):
+        import jax
+
+        from ..ops import ntt_pallas as wpal
+
+        return wpal.ntt_inv_fused(poly.pair, basis.moduli, from_mont=True,
+                                  interpret=jax.default_backend() != "tpu")
     raw = nttmod.ntt_inv(poly.pair, basis.ipsi_rev, basis.ninv, basis.q, basis.qinv)
     return w.from_mont(raw, basis.bq(1), basis.bqinv(1))
 

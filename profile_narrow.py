@@ -58,9 +58,12 @@ def main():
 
     print(f"batch={B} d={d} n={n} L_ct={ctb.num_moduli} L_aux={auxb.num_moduli}")
 
+    times = {}
+
     # full step
     mul = jax.jit(lambda x, y, r: nr.dbfv_mul(x, y, r))
     t, out = bench(mul, ct1, ct2, rlk)
+    times["full"] = t
     print(f"full multiply        {t*1e3:8.2f} ms   ({B/t:.0f} ops/s)")
 
     # phase 1: base extension x4
@@ -68,6 +71,7 @@ def main():
         nr._extend_to_aux(bp, c.limbs.c0, res=c.limbs.c0c),
         nr._extend_to_aux(bp, c.limbs.c1, res=c.limbs.c1c)])
     t, (e10, e11) = bench(ext, ct1)
+    times["extend3"] = t / 2
     print(f"extend_to_aux x2     {t*1e3:8.2f} ms")
     _, (e20, e21) = bench(ext, ct2)
 
@@ -130,6 +134,7 @@ def main():
     tens = jax.jit(tensor_all)
     t, (tq, tp) = bench(tens, ct1.limbs.c0, ct1.limbs.c1,
                         ct2.limbs.c0, ct2.limbs.c1, e10, e11, e20, e21)
+    times["limbconv"] = t
     print(f"tensor products      {t*1e3:8.2f} ms")
 
     # fold: for p=2^64 all reps are 0, so just truncate
@@ -139,6 +144,7 @@ def main():
     # phase 3: HPS scale x3
     hps = jax.jit(lambda a_, b_: nr._narrow_hps_scale(bp, a_, b_))
     t, r0 = bench(hps, tq[0], tp[0])
+    times["hps"] = t
     print(f"hps_scale (x1 of 3)  {t*1e3:8.2f} ms")
     hps_res = jax.jit(lambda a_, b_: nr._narrow_hps_scale(bp, a_, b_,
                                                           eval_out=False))
@@ -150,6 +156,7 @@ def main():
     rel = jax.jit(lambda r0_, r1_, res, rk: nr.relinearize32(
         nr.NarrowCiphertext(c0=r0_, c1=r1_, params=bp), rk, c2_res=res))
     t, _ = bench(rel, r0, r1, r2res, rlk)
+    times["relin"] = t
     print(f"relinearize          {t*1e3:8.2f} ms")
 
     # micro: one NTT sweep each basis at the multiply's shapes
@@ -171,7 +178,31 @@ def main():
     mm = jax.jit(lambda x, y: w32.mont_mul32(x, y, ctb.q.reshape(-1, 1),
                                              ctb.qinv.reshape(-1, 1)))
     t, _ = bench(mm, x_ct, x_ct)
+    times["mont_mul"] = t
     print(f"1 mont_mul ct tensor {t*1e3:8.2f} ms")
+
+    # roofline accounting (BASELINE.md per-chip anchor): measured bytes and
+    # native-op estimates vs the HBM ceiling — turns round 1's hand-waved
+    # "~5 ms HBM floor" into per-kernel numbers
+    from exacto_tpu.utils import roofline as rl
+
+    L, A = ctb.num_moduli, auxb.num_moduli
+    models = rl.multiply_models(B, d, L, A, n, bp.gadget_digits)
+    print()
+    print(f"roofline vs {rl.V5E.name} (HBM {rl.V5E.hbm_gbps:.0f} GB/s):")
+    for key in ("extend3", "limbconv", "hps", "relin"):
+        if key in times:
+            print("  " + rl.report_line(models[key], times[key]))
+    floor = sum(m["io_bytes"] for m in models.values()) / (rl.V5E.hbm_gbps * 1e9)
+    # the full multiply runs extend3 x4 and hps x3
+    full_bytes = (4 * models["extend3"]["io_bytes"]
+                  + models["limbconv"]["io_bytes"]
+                  + 3 * models["hps"]["io_bytes"]
+                  + models["relin"]["io_bytes"])
+    print(f"  full-step HBM floor: {full_bytes / (rl.V5E.hbm_gbps * 1e9) * 1e3:.2f} ms "
+          f"(measured {times['full']*1e3:.2f} ms -> "
+          f"{100 * full_bytes / (rl.V5E.hbm_gbps * 1e9) / times['full']:.1f}% of roofline; "
+          f"the gap is VPU u32-multiply throughput)")
 
 
 if __name__ == "__main__":

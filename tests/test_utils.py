@@ -89,3 +89,24 @@ def test_fast_base_extend_value_mod_dst():
         # approximate extension: x + u*A for u in [0, k)
         candidates = {(x + u * big_a) % 562949953443841 for u in range(2)}
         assert int(got[j]) in candidates, j
+
+
+def test_security_calibration_hits_standard_anchors():
+    """The calibrated estimator reproduces the HomomorphicEncryption.org
+    table values at every anchor (ternary secret, classical)."""
+    from exacto_tpu.params.security import HE_STANDARD_LOGQ
+
+    for n, (q128, q192, q256) in HE_STANDARD_LOGQ.items():
+        for logq, want in ((q128, 128), (q192, 192), (q256, 256)):
+            got = estimate_security_bits(n, logq)
+            assert abs(got - want) < 6, (n, logq, got)
+
+
+def test_production_presets_enforce_security():
+    from exacto_tpu.params.presets import small_bfv, u64_dbfv
+
+    small_bfv()
+    u64_dbfv()
+    from exacto_tpu import narrow as nr
+
+    nr.u64_dbfv_fast(4096)
