@@ -239,6 +239,30 @@ def u64_dbfv_fast(n: int = 4096) -> NarrowDbfvParams:
     return NarrowDbfvParams(base=256, num_digits=8, plain_modulus=0, bfv=bfv)
 
 
+@lru_cache(maxsize=None)
+def u64_dbfv_d4(n: int = 4096) -> NarrowDbfvParams:
+    """u64 profile 1 of the reference paper harness (d=4, b=2^16,
+    t = 2^35-1; /root/reference/src/bin/paper_repro.rs:43-66) — made
+    CORRECT: the reference runs it over a 60-bit Q, leaving Delta/2 = 2^24
+    far below the ~2^51 multiply noise, so its own repro reports
+    numerically wrong products (reports/paper_reproduction.md row 1).
+    A 3-prime narrow Q (~2^90, still 128-bit secure at n=4096 per the
+    HE-standard tables) gives Delta/2 ~ 2^54 and exact parity.  The HPS
+    round term (|r| <= t/2 ~ 2^34) lifts through a 2-aux-prime CRT pair.
+
+    Use a SPARSE secret (gen_secret_key(..., hamming_weight=64)): the
+    dominant post-mul noise at this t is the HPS rounding term
+    ~ (t/2) * ||s||_1 ~ 2^34 * ||s||_1, so the dense-ternary ||s||_1 ~
+    2n/3 = 2731 would overflow Delta/2 ~ 2^54; h = 64 leaves ~8 bits of
+    margin (the same sparse-secret technique every production CKKS/BFV
+    bootstrapping stack uses)."""
+    qs = find_narrow_primes(n, 3, 30)
+    ps = find_narrow_primes(n, 4, 30, skip=qs)
+    bfv = NarrowParams.create(n, (1 << 35) - 1, qs, ps, gadget_mode="rns")
+    return NarrowDbfvParams(base=1 << 16, num_digits=4, plain_modulus=0,
+                            bfv=bfv)
+
+
 # ---------------------------------------------------------------------------
 # polynomial ops (single u32 [..., L, n], Montgomery NTT domain)
 # ---------------------------------------------------------------------------
@@ -684,21 +708,52 @@ def _hps_general_consts(moduli: tuple, aux_moduli: tuple, p: int):
     big_p = 1
     for m in aux_moduli:
         big_p *= m
-    if not p < aux_moduli[0] - 1:
-        raise InvalidParam("general HPS scale needs plain modulus < first "
-                           "aux prime (round term lifts through it)")
+    # the round term r (|r| <= p/2) lifts through the smallest PREFIX of
+    # aux primes whose product covers the centered range — one prime while
+    # p < p_0 (the common case), a CRT pair for large t (e.g. the d=4
+    # u64 profile's t = 2^35 over a 3-prime Q)
+    n_lift, lift_prod = 0, 1
+    while lift_prod <= p + 1:
+        if n_lift == len(aux_moduli):
+            raise InvalidParam("aux basis too small to lift the HPS round "
+                               "term (need prod(aux) > plain modulus)")
+        lift_prod *= aux_moduli[n_lift]
+        n_lift += 1
+    lift = aux_moduli[:n_lift]
+    # mixed-radix digits of floor(lift_prod / 2) for the centered-sign
+    # compare (least-significant digit first, like Garner's output)
+    half, half_digits = lift_prod // 2, []
+    for m in lift:
+        half_digits.append(half % m)
+        half //= m
     qinv_pj = tuple(hm.mod_inv(big_q % m, m) for m in aux_moduli)
     t_qi = tuple(p % m for m in moduli)
     t_pj = tuple(p % m for m in aux_moduli)
     pmodq = tuple(big_p % m for m in moduli)
+    # Garner constants within the lift prefix: inv[j][i] = p_i^{-1} mod p_j
+    lift_inv = tuple(tuple(hm.mod_inv(lift[i] % m, m) for i in range(j))
+                     for j, m in enumerate(lift))
+    lift_prod_qi = tuple(lift_prod % m for m in moduli)
+    lift_pi_qi = tuple(tuple(lift[i] % m for i in range(n_lift))
+                       for m in moduli)
     return {
         "qinv_pj": qinv_pj,
         "qinv_pj_sh": tuple(sh(v, m) for v, m in zip(qinv_pj, aux_moduli)),
         "t_qi": t_qi, "t_qi_sh": tuple(sh(v, m) for v, m in zip(t_qi, moduli)),
-        "t_p0": p % aux_moduli[0],
-        "t_p0_sh": sh(p % aux_moduli[0], aux_moduli[0]),
+        "t_pj": t_pj,
+        "t_pj_sh": tuple(sh(v, m) for v, m in zip(t_pj, aux_moduli)),
         "pmodq": pmodq,
-        "half_p0": aux_moduli[0] // 2,
+        "n_lift": n_lift,
+        "half_digits": tuple(half_digits),
+        "lift_inv": lift_inv,
+        "lift_inv_sh": tuple(tuple(sh(v, m) for v in row)
+                             for row, m in zip(lift_inv, lift)),
+        "lift_prod_qi": lift_prod_qi,
+        "lift_prod_qi_sh": tuple(sh(v, m)
+                                 for v, m in zip(lift_prod_qi, moduli)),
+        "lift_pi_qi": lift_pi_qi,
+        "lift_pi_qi_sh": tuple(tuple(sh(v, m) for v in row)
+                               for row, m in zip(lift_pi_qi, moduli)),
     }
 
 
@@ -736,27 +791,48 @@ def _narrow_hps_scale_general(params: NarrowParams, t_q, t_p, eval_out=True):
 
     # m_j = (t_p_j - a mod p_j) * Q^{-1} mod p_j
     m_list = []
-    a_p0 = None
+    a_lift = []
+    n_lift = cst["n_lift"]
     for j, pj in enumerate(aux_moduli):
         a_pj = _horner_mod(moduli, vs_a, neg_a, pj)
-        if j == 0:
-            a_p0 = a_pj
+        if j < n_lift:
+            a_lift.append(a_pj)
         diff = w32.mod_sub32(res_p[..., j, :], a_pj, jnp.uint32(pj))
         m_list.append(w32.shoup_mul32(diff, jnp.uint32(cst["qinv_pj"][j]),
                                       jnp.uint32(cst["qinv_pj_sh"][j]),
                                       jnp.uint32(pj)))
 
-    # r via p_0: r = (t_plain * a - rho) * Q^{-1} mod p_0, |r| <= t_plain/2
-    p0 = aux_moduli[0]
-    p0s = jnp.uint32(p0)
-    rho_p0 = _horner_mod(moduli, vs_r, neg_r, p0)
-    ta_p0 = w32.shoup_mul32(a_p0, jnp.uint32(cst["t_p0"]),
-                            jnp.uint32(cst["t_p0_sh"]), p0s)
-    r_p0 = w32.shoup_mul32(w32.mod_sub32(ta_p0, rho_p0, p0s),
-                           jnp.uint32(cst["qinv_pj"][0]),
-                           jnp.uint32(cst["qinv_pj_sh"][0]), p0s)
-    r_neg = r_p0 > jnp.uint32(cst["half_p0"])
-    r_mag = jnp.where(r_neg, p0s - r_p0, r_p0)  # |r| as u32 (< t_plain)
+    # round term r = (t_plain * a - rho) * Q^{-1}, |r| <= t_plain/2, lifted
+    # through the first n_lift aux primes (1 when t < p_0; a CRT pair for
+    # large t, e.g. the d=4 u64 profile's t = 2^35)
+    r_pj = []
+    for j in range(n_lift):
+        pj = aux_moduli[j]
+        pjs = jnp.uint32(pj)
+        rho_pj = _horner_mod(moduli, vs_r, neg_r, pj)
+        ta_pj = w32.shoup_mul32(a_lift[j], jnp.uint32(cst["t_pj"][j]),
+                                jnp.uint32(cst["t_pj_sh"][j]), pjs)
+        r_pj.append(w32.shoup_mul32(w32.mod_sub32(ta_pj, rho_pj, pjs),
+                                    jnp.uint32(cst["qinv_pj"][j]),
+                                    jnp.uint32(cst["qinv_pj_sh"][j]), pjs))
+    # Garner digits of r within the lift prefix (LSD first)
+    vs_rl = []
+    for j in range(n_lift):
+        pj = aux_moduli[j]
+        pjs = jnp.uint32(pj)
+        one_sh = jnp.uint32(w32.mont_consts32(pj)["one_shoup"])
+        x = r_pj[j]
+        for i in range(j):
+            vi = w32.shoup_reduce32(vs_rl[i], pjs, one_sh)
+            x = w32.mod_sub32(x, vi, pjs)
+            x = w32.shoup_mul32(x, jnp.uint32(cst["lift_inv"][j][i]),
+                                jnp.uint32(cst["lift_inv_sh"][j][i]), pjs)
+        vs_rl.append(x)
+    # centered sign: mixed-radix lexicographic compare vs floor(prod/2)
+    r_neg = jnp.zeros_like(vs_rl[0], dtype=bool)
+    for j in range(n_lift):
+        hj = jnp.uint32(cst["half_digits"][j])
+        r_neg = (vs_rl[j] > hj) | ((vs_rl[j] == hj) & r_neg)
 
     # m as integer via aux-basis Garner, then assemble per ct prime
     vs_m, neg_m = _garner_digits(aux_moduli, jnp.stack(m_list, axis=-2))
@@ -767,8 +843,19 @@ def _narrow_hps_scale_general(params: NarrowParams, t_q, t_p, eval_out=True):
         m_qi = _horner_mod(aux_moduli, vs_m, neg_m, qi)
         pm = w32.shoup_mul32(m_qi, jnp.uint32(cst["t_qi"][i]),
                              jnp.uint32(cst["t_qi_sh"][i]), qis)
-        r_qi = w32.shoup_reduce32(r_mag, qis, one_sh)
-        r_signed = jnp.where(r_neg, w32.mod_neg32(r_qi, qis), r_qi)
+        # r mod q_i: Horner over the lift digits (MSD first), minus prod
+        # when centered-negative
+        r_qi = w32.shoup_reduce32(vs_rl[n_lift - 1], qis, one_sh)
+        for j in range(n_lift - 2, -1, -1):
+            vj = w32.shoup_reduce32(vs_rl[j], qis, one_sh)
+            r_qi = w32.mod_add32(
+                w32.shoup_mul32(r_qi, jnp.uint32(cst["lift_pi_qi"][i][j]),
+                                jnp.uint32(cst["lift_pi_qi_sh"][i][j]), qis),
+                vj, qis)
+        r_signed = jnp.where(
+            r_neg,
+            w32.mod_sub32(r_qi, jnp.uint32(cst["lift_prod_qi"][i]), qis),
+            r_qi)
         outs.append(w32.mod_add32(r_signed, pm, qis))
     out = jnp.stack(outs, axis=-2)
     if not eval_out:
@@ -1564,9 +1651,17 @@ def dbfv_mul(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
 
         raise NotImplementedYet("chained dBFV multiplication requires bootstrap")
     bp = ct1.params.bfv
-    # pre-scale degree reduction multiplies the tensor magnitude by at most
-    # 1 + (d-1)*(base-1) (SmallReps digits < base, at most d-1 folded limbs)
-    fold_factor = 1 + (ct1.params.num_digits - 1) * (ct1.params.base - 1)
+    # pre-scale degree reduction multiplies the tensor magnitude by the
+    # actual SmallReps column sums (for p = b^d every rep is zero — B^j == 0
+    # mod p — so the factor is 1, which admits large-base profiles like
+    # d=4 / b=2^16 that the worst-case 1+(d-1)(b-1) bound would reject)
+    from .dbfv.lattice import SmallReps
+
+    d_ = ct1.params.num_digits
+    reps_ = SmallReps.compute_simple(ct1.params.base, d_,
+                                     ct1.params.plain_modulus).reps
+    fold_factor = 1 + max(
+        (sum(int(rep[i]) for rep in reps_) for i in range(d_)), default=0)
     if bp.aux_basis.modulus_product <= (fold_factor * ct1.params.num_digits
                                         * bp.ring_degree * bp.big_q // 2):
         raise InvalidParam("aux basis too small for deferred-sum scaling")

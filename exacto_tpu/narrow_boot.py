@@ -144,6 +144,43 @@ def make_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
     return NarrowBootParams(e_lo=e_lo, hamming=hamming, orig=orig, boot=boot)
 
 
+def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
+                    hamming: int, margin_bits: int = 20) -> tuple:
+    """(l_extra, a_boot) from a worst-case noise model — ROADMAP item 6
+    (round 1 hand-sized these per profile).
+
+    Model: the Paterson-Stockmeyer critical path is
+    ceil(log2 k) + ceil(log2 g) + 1 ct-ct multiply levels; each level
+    multiplies the noise by ~t_boot * 2n; the prologue contributes fresh +
+    plain-mul-by-c1' (l1 ~ n*q'/2) + trace doubling (log2 n steps).
+    Q_boot must cover noise + log2 t_boot + margin."""
+    n = orig.bfv.ring_degree
+    qp = 1 << e_lo
+    span = qp * (hamming + 1) + 2
+    t_boot = span + 1
+    while not hm.is_prime(t_boot):
+        t_boot += 1
+    degree = span - 1
+    k = max(1, int(np.ceil(np.sqrt(degree + 1))))
+    g = (degree + k) // k
+    depth = int(np.ceil(np.log2(k))) + int(np.ceil(np.log2(max(g, 2)))) + 1
+    per_mul = np.log2(t_boot) + np.log2(2 * n) + 2
+    prologue = 4 + (np.log2(n) + e_lo - 1) + np.log2(n)
+    need = prologue + depth * per_mul + np.log2(t_boot) + margin_bits
+    orig_bits = sum(np.log2(m) for m in orig.bfv.moduli)
+    l_extra = max(1, int(np.ceil((need - orig_bits) / 30.0)))
+    a_boot = l_extra + len(orig.bfv.moduli) + 1
+    return l_extra, a_boot
+
+
+def auto_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
+                     margin_bits: int = 20) -> NarrowBootParams:
+    """make_boot_params with l_extra / a_boot derived from the noise model."""
+    l_extra, a_boot = auto_boot_sizes(orig, e_lo, hamming, margin_bits)
+    return make_boot_params(orig, e_lo=e_lo, hamming=hamming,
+                            l_extra=l_extra, a_boot=a_boot)
+
+
 @lru_cache(maxsize=None)
 def _params_at_t(moduli: tuple, aux_moduli: tuple, n: int, sigma: float,
                  t: int) -> nr.NarrowParams:
@@ -350,6 +387,52 @@ def _plain_const(val: int, params: nr.NarrowParams):
     return nr.trivial_encrypt(c, params)
 
 
+@jax.jit
+def _combine_blocks_kernel(P0, P1, Cw, Csh, q):
+    """All Paterson-Stockmeyer giant blocks in ONE device pass.
+
+    P0/P1: stacked baby powers x^0..x^{k-1}, shape [k, *batch, L, n]
+    (eval domain).  Cw/Csh: per-prime block-coefficient table + Shoup
+    companions, shape [k, g, L].  Returns ([g, *batch, L, n], same) =
+    (sum_i C[b,i]*x^i).c0/.c1 for every block b.
+
+    Replaces ~k*g eager scalar-mul dispatches (9k+ at the n=4096
+    production shape) with one compiled fori_loop."""
+    k = P0.shape[0]
+    g = Cw.shape[1]
+    bshape = P0.shape[1:]
+    wshape = (g,) + (1,) * (len(bshape) - 2) + (Cw.shape[2], 1)
+
+    def body(i, acc):
+        a0, a1 = acc
+        wv = jax.lax.dynamic_index_in_dim(Cw, i, 0, False).reshape(wshape)
+        ws = jax.lax.dynamic_index_in_dim(Csh, i, 0, False).reshape(wshape)
+        p0 = jax.lax.dynamic_index_in_dim(P0, i, 0, False)
+        p1 = jax.lax.dynamic_index_in_dim(P1, i, 0, False)
+        a0 = w32.mod_add32(a0, w32.shoup_mul32(p0[None], wv, ws, q), q)
+        a1 = w32.mod_add32(a1, w32.shoup_mul32(p1[None], wv, ws, q), q)
+        return a0, a1
+
+    z = jnp.zeros((g,) + bshape, dtype=jnp.uint32)
+    return jax.lax.fori_loop(0, k, body, (z, z))
+
+
+def _block_coeff_tables(coeffs: tuple, k: int, g: int, moduli: tuple):
+    """Host precompute: Cw[i, b, l] = coeffs[b*k+i] mod q_l (+ Shoup)."""
+    Cw = np.zeros((k, g, len(moduli)), dtype=np.uint32)
+    Csh = np.zeros_like(Cw)
+    for b in range(g):
+        for i in range(k):
+            idx = b * k + i
+            if idx >= len(coeffs) or coeffs[idx] == 0:
+                continue
+            for l, q in enumerate(moduli):
+                v = coeffs[idx] % q
+                Cw[i, b, l] = v
+                Csh[i, b, l] = w32.shoup_const32(v, q)
+    return jnp.asarray(Cw), jnp.asarray(Csh)
+
+
 def eval_poly_ps(ct: nr.NarrowCiphertext, coeffs: tuple,
                  rlk: nr.NarrowRelinKey, mul=None):
     """Homomorphic P(ct) by Paterson-Stockmeyer with balanced trees.
@@ -363,6 +446,7 @@ def eval_poly_ps(ct: nr.NarrowCiphertext, coeffs: tuple,
     d = len(coeffs) - 1
     if d <= 0:
         return _plain_const(coeffs[0] if coeffs else 0, ct.params)
+    params = ct.params
     k = max(1, int(np.ceil(np.sqrt(d + 1))))
     powers = {1: ct}
 
@@ -376,19 +460,29 @@ def eval_poly_ps(ct: nr.NarrowCiphertext, coeffs: tuple,
     for j in range(2, k + 1):
         power(j)
 
-    def block_val(bcoeffs):
-        """sum_i bcoeffs[i] * x^i as scalar muls + adds (linear, no depth)."""
-        acc = _plain_const(bcoeffs[0], ct.params)
-        for i in range(1, len(bcoeffs)):
-            if bcoeffs[i] == 0:
-                continue
-            acc = nr.ct_add(acc, nr.ct_scalar_mul(power(i), bcoeffs[i]))
-        return acc
+    # all giant blocks sum_i coeffs[b*k+i] x^i in ONE device pass over the
+    # stacked baby powers (x^0 = the trivial Delta constant).  Buffers are
+    # released stage-by-stage: at the production shape (k ~ 96, n = 4096,
+    # L ~ 17) each stacked copy is ~4 GB of HBM.
+    g = (d + k) // k
+    one = _plain_const(1, params)
+    bshape = ct.c0.shape
+    xk = power(k)
+    P0 = jnp.stack([jnp.broadcast_to(one.c0, bshape)]
+                   + [powers[j].c0 for j in range(1, k)])
+    P1 = jnp.stack([jnp.zeros(bshape, dtype=jnp.uint32)]
+                   + [powers[j].c1 for j in range(1, k)])
+    powers.clear()
+    Cw, Csh = _block_coeff_tables(coeffs, k, g, params.moduli)
+    B0, B1 = _combine_blocks_kernel(P0, P1, Cw, Csh,
+                                    params.ct_basis.q.reshape(-1, 1))
+    del P0, P1
+    jax.block_until_ready(B0)
+    blocks = [nr.NarrowCiphertext(c0=B0[b], c1=B1[b], params=params)
+              for b in range(g)]
+    del B0, B1
 
-    blocks = [block_val(coeffs[b * k:(b + 1) * k])
-              for b in range((d + k) // k)]
-
-    ypows = {1: power(k)}
+    ypows = {1: xk}
 
     def ypow(j):  # j a power of two
         if j not in ypows:
@@ -455,13 +549,14 @@ def switch_down(ct: nr.NarrowCiphertext, orig: nr.NarrowParams):
 # the full pipeline
 # ---------------------------------------------------------------------------
 
-def bfv_bootstrap(ct: nr.NarrowCiphertext, bk: NarrowBootKey, mul=None):
-    """Refresh one (batched) scalar BFV ciphertext under the orig scheme."""
+@jax.jit
+def _prologue_jit(ct: nr.NarrowCiphertext, bk: NarrowBootKey):
+    """Jitted steps 1-3: modswitch to 2^e, phase re-encryption, trace.
+    One compiled program instead of ~100 eager dispatches (the log n trace
+    keyswitches dominate) — matters over the remote TPU tunnel."""
     bp = bk.params
     orig_bfv = bp.orig.bfv
-    boot = bp.boot
     e = bp.e_lo
-    n = orig_bfv.ring_degree
     qp = 1 << e
     c0p = modswitch_to_pow2(orig_bfv, ct.c0, ct.c0c, e)
     c1p = modswitch_to_pow2(orig_bfv, ct.c1, ct.c1c, e)
@@ -469,15 +564,31 @@ def bfv_bootstrap(ct: nr.NarrowCiphertext, bk: NarrowBootKey, mul=None):
     c1s = c1p.astype(jnp.int32)
     c1s = jnp.where(c1s >= qp // 2, c1s - qp, c1s)
     ph = phase_reencrypt(c0p, c1s, bk)           # value z (integer)
-    tr = trace32(ph, bk)                         # value n*z
+    return trace32(ph, bk)                       # value n*z
+
+
+_switch_down_jit = jax.jit(switch_down)
+_bfv_mul_jit = jax.jit(nr.bfv_mul32)
+
+
+def bfv_bootstrap(ct: nr.NarrowCiphertext, bk: NarrowBootKey, mul=None):
+    """Refresh one (batched) scalar BFV ciphertext under the orig scheme."""
+    bp = bk.params
+    orig_bfv = bp.orig.bfv
+    boot = bp.boot
+    n = orig_bfv.ring_degree
+    qp = 1 << bp.e_lo
+    tr = _prologue_jit(ct, bk)
     zmin, zmax = bp.z_bounds
     coeffs = rounding_poly_coeffs(boot.plain_modulus, bp.t_orig, qp, n,
                                   zmin, zmax)
     rlk_ct = nr.NarrowRelinKey(rlk0=bk.rlk.rlk0, rlk1=bk.rlk.rlk1,
                                params=boot)
+    if mul is None:
+        mul = lambda a, b: _bfv_mul_jit(a, b, rlk_ct)
     out = eval_poly_ps(tr, coeffs, rlk_ct, mul=mul)
     out = _reinterpret(out, bp.t_orig)           # table pre-scaled: free
-    return switch_down(out, orig_bfv)
+    return _switch_down_jit(out, orig_bfv)
 
 
 def dbfv_bootstrap(ct: nr.NarrowDbfvCiphertext, bk: NarrowBootKey,

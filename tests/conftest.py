@@ -21,10 +21,21 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: the suite's wall time is dominated by
 # CPU jit compiles of the same programs run-over-run; caching them on disk
-# cuts repeat runs several-fold.
+# cuts repeat runs several-fold.  The cache dir is keyed by a host-CPU
+# fingerprint: XLA:CPU AOT entries encode machine features, and loading an
+# entry compiled on a different box risks SIGILL (observed as
+# cpu_aot_loader "machine type doesn't match" errors when /tmp survives a
+# workspace migration).
+import hashlib  # noqa: E402
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((l for l in _f if l.startswith("flags")), "")
+    _fp = hashlib.sha1(_flags.encode()).hexdigest()[:8]
+except OSError:
+    _fp = "nohost"
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("EXACTO_TPU_COMPCACHE",
-                                 "/tmp/exacto_tpu_compcache"))
+                                 "/tmp/exacto_tpu_compcache_" + _fp))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

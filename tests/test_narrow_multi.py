@@ -164,6 +164,36 @@ def test_automorphism_L3(params3, keys3):
     np.testing.assert_array_equal(got, want)
 
 
+def test_dbfv_d4_large_t_roundtrip():
+    """d=4 / b=2^16 u64 profile at test scale: t = 2^35-1 exceeds one aux
+    prime, so the HPS round term lifts through a 2-prime CRT pair
+    (ROADMAP item 5; reference paper profile 1, paper_repro.rs:43-66).
+
+    Sparse secret (h=64): the dominant post-mul noise at this t is the HPS
+    rounding term ~ (t/2)*||s||_1, so a dense ternary secret (||s||_1 ~
+    2n/3) sits exactly at the Delta/2 boundary — h=64 pulls it 5+ bits
+    under (measured: dense flips one digit on ~2/5 seeds; h=64 is clean
+    across seeds)."""
+    n = 256
+    qs = nr.find_narrow_primes(n, 3, 30)
+    ps = nr.find_narrow_primes(n, 4, 30, skip=qs)
+    bfv = nr.NarrowParams.create(n, (1 << 35) - 1, qs, ps, gadget_mode="rns")
+    params = nr.NarrowDbfvParams(base=1 << 16, num_digits=4,
+                                 plain_modulus=0, bfv=bfv)
+    sk = nr.gen_secret_key(jax.random.PRNGKey(11), bfv, hamming_weight=64)
+    rlk = nr.gen_relin_key(jax.random.PRNGKey(12), sk)
+    a = np.array([0xDEADBEEFCAFEBABE, 3, (1 << 64) - 1], dtype=np.uint64)
+    b = np.array([0x0123456789ABCDEF, 5, (1 << 64) - 1], dtype=np.uint64)
+    ct1 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(13), a, sk, params)
+    ct2 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(14), b, sk, params)
+    got = np.asarray(nr.dbfv_decrypt(nr.dbfv_mul(ct1, ct2, rlk), sk),
+                     dtype=np.uint64)
+    np.testing.assert_array_equal(got, a * b)  # uint64 wrap == mod 2^64
+    got_add = np.asarray(nr.dbfv_decrypt(nr.dbfv_add(ct1, ct2), sk),
+                         dtype=np.uint64)
+    np.testing.assert_array_equal(got_add, a + b)
+
+
 def test_general_hps_matches_pair_path_L2():
     """At L=2 the general Garner HPS scale must agree bit-for-bit with the
     u64-pair fast path on real tensor data."""
