@@ -684,12 +684,133 @@ def _horner_mod(moduli: tuple, vs, neg, p: int):
                      acc)
 
 
+# --- scan forms of the same glue -------------------------------------------
+#
+# The unrolled chains above emit O(L^2) (Garner) and O(L*T) (Horner) HLO
+# ops per use; at bootstrap scale (L = 17 ct primes) XLA's optimization
+# passes go superlinear on the resulting programs (measured: 35 min for
+# one bfv_mul32 compile on the TPU compile service, 30+ GB RSS on CPU).
+# The lax.scan forms below emit O(1) ops regardless of L — same math,
+# same sequential dependency structure — and are selected automatically
+# for L >= _SCAN_MIN_L (the unrolled forms stay for the small-L hot
+# paths, where loop overhead would cost more than it saves).
+
+_SCAN_MIN_L = 6
+
+
+def _garner_digits_stacked(moduli: tuple, res):
+    """Unrolled Garner with the scan API: (digits [L, ..., n], neg)."""
+    vs, neg = _garner_digits(moduli, res)
+    return jnp.stack(vs, axis=0), neg
+
+
+def _garner_digits_scan(moduli: tuple, res):
+    """Scan form of _garner_digits: [..., L, n] -> (digits [L, ..., n]
+    stacked on axis 0, neg mask)."""
+    cst = _garner_consts(moduli)
+    L = len(moduli)
+    q = jnp.asarray(np.array(moduli, dtype=np.uint32))
+    one_sh = jnp.asarray(np.array(cst["one_sh"], dtype=np.uint32))
+    inv = np.zeros((L, L), dtype=np.uint32)
+    inv_sh = np.zeros((L, L), dtype=np.uint32)
+    for j, row in enumerate(cst["inv"]):
+        inv[j, :j] = row
+        inv_sh[j, :j] = cst["inv_sh"][j]
+    inv = jnp.asarray(inv)
+    inv_sh = jnp.asarray(inv_sh)
+    res_l = jnp.moveaxis(res, -2, 0)  # [L, ..., n]
+
+    def outer(digs, xs):
+        j, xj = xs
+        mj = q[j]
+        osh = one_sh[j]
+
+        def inner(x, ys):
+            i, di = ys
+            vi = w32.shoup_reduce32(di, mj, osh)
+            xn = w32.mod_sub32(x, vi, mj)
+            xn = w32.shoup_mul32(xn, inv[j, i], inv_sh[j, i], mj)
+            return jnp.where(i < j, xn, x), None
+
+        x, _ = jax.lax.scan(inner, xj, (jnp.arange(L, dtype=jnp.uint32),
+                                        digs))
+        return jax.lax.dynamic_update_index_in_dim(digs, x, j, 0), None
+
+    digs0 = jnp.zeros_like(res_l)
+    digs, _ = jax.lax.scan(outer, digs0,
+                           (jnp.arange(L, dtype=jnp.uint32), res_l))
+
+    half = jnp.asarray(np.array(cst["half_digits"], dtype=np.uint32))
+
+    def sign_step(neg, xs):
+        j, dj = xs
+        hj = half[j]
+        return (dj > hj) | ((dj == hj) & neg), None
+
+    neg, _ = jax.lax.scan(sign_step,
+                          jnp.zeros(res_l.shape[1:], dtype=bool),
+                          (jnp.arange(L, dtype=jnp.uint32), digs))
+    return digs, neg
+
+
+@lru_cache(maxsize=None)
+def _horner_all_consts(moduli: tuple, targets: tuple):
+    sh = w32.shoup_const32
+    cst = _garner_consts(moduli)
+    qmod = np.array([[m % p for p in targets] for m in moduli],
+                    dtype=np.uint32)
+    qmod_sh = np.array([[sh(m % p, p) for p in targets] for m in moduli],
+                       dtype=np.uint32)
+    return {
+        "qmod": qmod, "qmod_sh": qmod_sh,
+        "bigmod": np.array([cst["big"] % p for p in targets],
+                           dtype=np.uint32),
+        "one_sh": np.array([w32.mont_consts32(p)["one_shoup"]
+                            for p in targets], dtype=np.uint32),
+        "p": np.array(targets, dtype=np.uint32),
+    }
+
+
+def _horner_mod_all(moduli: tuple, digs, neg, targets: tuple):
+    """Scan form of _horner_mod for ALL target primes at once: digits
+    [L, ..., n] (from _garner_digits_scan) -> centered x mod p for each
+    target, stacked [..., T, n]."""
+    hc = _horner_all_consts(moduli, targets)
+    L = len(moduli)
+    ps = jnp.asarray(hc["p"]).reshape(-1, 1)          # [T, 1]
+    one_sh = jnp.asarray(hc["one_sh"]).reshape(-1, 1)
+    qmod = jnp.asarray(hc["qmod"])                    # [L, T]
+    qmod_sh = jnp.asarray(hc["qmod_sh"])
+    # digits broadcast against the target axis: [L, ..., 1, n] vs [T, 1]
+    digs_t = digs[..., None, :]
+    acc = w32.shoup_reduce32(digs_t[L - 1], ps, one_sh)  # [..., T, n]
+
+    def step(acc, xs):
+        j, dj = xs
+        vj = w32.shoup_reduce32(dj, ps, one_sh)
+        acc = w32.mod_add32(
+            w32.shoup_mul32(acc, qmod[j].reshape(-1, 1),
+                            qmod_sh[j].reshape(-1, 1), ps), vj, ps)
+        return acc, None
+
+    if L > 1:
+        idx = jnp.arange(L - 2, -1, -1, dtype=jnp.uint32)
+        acc, _ = jax.lax.scan(step, acc, (idx, digs_t[L - 2::-1]))
+    bigmod = jnp.asarray(hc["bigmod"]).reshape(-1, 1)
+    return jnp.where(neg[..., None, :],
+                     w32.mod_sub32(acc, bigmod, ps), acc)
+
+
 def _extend_to_aux_general(params: NarrowParams, poly, res=None):
     """Exact centered base extension Q -> aux for ANY number of ct primes
     (Garner digits + per-aux Horner); the L=2 path keeps the fused u64
-    compose."""
+    compose.  Scan forms at L >= _SCAN_MIN_L keep the XLA program O(1)."""
     if res is None:
         res = to_coeff_residues32(params.ct_basis, poly)
+    if len(params.moduli) >= _SCAN_MIN_L:
+        digs, neg = _garner_digits_scan(params.moduli, res)
+        ext = _horner_mod_all(params.moduli, digs, neg, params.aux_moduli)
+        return from_coeff_residues32(params.aux_basis, ext)
     vs, neg = _garner_digits(params.moduli, res)
     outs = [_horner_mod(params.moduli, vs, neg, p)
             for p in params.aux_moduli]
@@ -780,48 +901,51 @@ def _narrow_hps_scale_general(params: NarrowParams, t_q, t_p, eval_out=True):
     res_q = to_coeff_residues32(ctb, t_q)
     res_p = to_coeff_residues32(auxb, t_p)
 
-    # digits of a = centered t mod Q
-    vs_a, neg_a = _garner_digits(moduli, res_q)
-    # digits of x_rho with x_rho = [t_plain * a]_Q (residues t_plain * t_q_i)
-    rho_res = jnp.stack(
-        [w32.shoup_mul32(res_q[..., i, :], jnp.uint32(cst["t_qi"][i]),
-                         jnp.uint32(cst["t_qi_sh"][i]), jnp.uint32(m))
-         for i, m in enumerate(moduli)], axis=-2)
-    vs_r, neg_r = _garner_digits(moduli, rho_res)
-
-    # m_j = (t_p_j - a mod p_j) * Q^{-1} mod p_j
-    m_list = []
-    a_lift = []
+    L = len(moduli)
+    A = len(aux_moduli)
     n_lift = cst["n_lift"]
-    for j, pj in enumerate(aux_moduli):
-        a_pj = _horner_mod(moduli, vs_a, neg_a, pj)
-        if j < n_lift:
-            a_lift.append(a_pj)
-        diff = w32.mod_sub32(res_p[..., j, :], a_pj, jnp.uint32(pj))
-        m_list.append(w32.shoup_mul32(diff, jnp.uint32(cst["qinv_pj"][j]),
-                                      jnp.uint32(cst["qinv_pj_sh"][j]),
-                                      jnp.uint32(pj)))
+    garner = (_garner_digits_scan if L >= _SCAN_MIN_L
+              else _garner_digits_stacked)
+
+    def arr(vals):
+        return jnp.asarray(np.array(vals, dtype=np.uint32)).reshape(-1, 1)
+
+    qv = ctb.q.reshape(-1, 1)
+    pv = auxb.q.reshape(-1, 1)
+    t_qi = arr(cst["t_qi"])
+    t_qi_sh = arr(cst["t_qi_sh"])
+
+    # digits of a = centered t mod Q, and of x_rho = [t_plain * a]_Q
+    digs_a, neg_a = garner(moduli, res_q)
+    rho_res = w32.shoup_mul32(res_q, t_qi, t_qi_sh, qv)
+    digs_r, neg_r = garner(moduli, rho_res)
+
+    # a at every aux prime, then m_j = (t_p_j - a) * Q^{-1} mod p_j
+    a_ext = _horner_mod_all(moduli, digs_a, neg_a, aux_moduli)  # [.., A, n]
+    qinv = arr(cst["qinv_pj"])
+    qinv_sh = arr(cst["qinv_pj_sh"])
+    m_res = w32.shoup_mul32(w32.mod_sub32(res_p, a_ext, pv), qinv, qinv_sh,
+                            pv)
 
     # round term r = (t_plain * a - rho) * Q^{-1}, |r| <= t_plain/2, lifted
     # through the first n_lift aux primes (1 when t < p_0; a CRT pair for
     # large t, e.g. the d=4 u64 profile's t = 2^35)
-    r_pj = []
-    for j in range(n_lift):
-        pj = aux_moduli[j]
-        pjs = jnp.uint32(pj)
-        rho_pj = _horner_mod(moduli, vs_r, neg_r, pj)
-        ta_pj = w32.shoup_mul32(a_lift[j], jnp.uint32(cst["t_pj"][j]),
-                                jnp.uint32(cst["t_pj_sh"][j]), pjs)
-        r_pj.append(w32.shoup_mul32(w32.mod_sub32(ta_pj, rho_pj, pjs),
-                                    jnp.uint32(cst["qinv_pj"][j]),
-                                    jnp.uint32(cst["qinv_pj_sh"][j]), pjs))
-    # Garner digits of r within the lift prefix (LSD first)
+    lift = aux_moduli[:n_lift]
+    pl = pv[:n_lift]
+    rho_l = _horner_mod_all(moduli, digs_r, neg_r, lift)  # [.., n_lift, n]
+    ta_l = w32.shoup_mul32(a_ext[..., :n_lift, :],
+                           arr(cst["t_pj"][:n_lift]),
+                           arr(cst["t_pj_sh"][:n_lift]), pl)
+    r_l = w32.shoup_mul32(w32.mod_sub32(ta_l, rho_l, pl),
+                          qinv[:n_lift], qinv_sh[:n_lift], pl)
+    # Garner digits of r within the lift prefix (LSD first; n_lift <= 3 so
+    # unrolled is fine)
     vs_rl = []
     for j in range(n_lift):
-        pj = aux_moduli[j]
+        pj = lift[j]
         pjs = jnp.uint32(pj)
         one_sh = jnp.uint32(w32.mont_consts32(pj)["one_shoup"])
-        x = r_pj[j]
+        x = r_l[..., j, :]
         for i in range(j):
             vi = w32.shoup_reduce32(vs_rl[i], pjs, one_sh)
             x = w32.mod_sub32(x, vi, pjs)
@@ -834,30 +958,27 @@ def _narrow_hps_scale_general(params: NarrowParams, t_q, t_p, eval_out=True):
         hj = jnp.uint32(cst["half_digits"][j])
         r_neg = (vs_rl[j] > hj) | ((vs_rl[j] == hj) & r_neg)
 
-    # m as integer via aux-basis Garner, then assemble per ct prime
-    vs_m, neg_m = _garner_digits(aux_moduli, jnp.stack(m_list, axis=-2))
-    outs = []
-    for i, qi in enumerate(moduli):
-        qis = jnp.uint32(qi)
-        one_sh = jnp.uint32(w32.mont_consts32(qi)["one_shoup"])
-        m_qi = _horner_mod(aux_moduli, vs_m, neg_m, qi)
-        pm = w32.shoup_mul32(m_qi, jnp.uint32(cst["t_qi"][i]),
-                             jnp.uint32(cst["t_qi_sh"][i]), qis)
-        # r mod q_i: Horner over the lift digits (MSD first), minus prod
-        # when centered-negative
-        r_qi = w32.shoup_reduce32(vs_rl[n_lift - 1], qis, one_sh)
-        for j in range(n_lift - 2, -1, -1):
-            vj = w32.shoup_reduce32(vs_rl[j], qis, one_sh)
-            r_qi = w32.mod_add32(
-                w32.shoup_mul32(r_qi, jnp.uint32(cst["lift_pi_qi"][i][j]),
-                                jnp.uint32(cst["lift_pi_qi_sh"][i][j]), qis),
-                vj, qis)
-        r_signed = jnp.where(
-            r_neg,
-            w32.mod_sub32(r_qi, jnp.uint32(cst["lift_prod_qi"][i]), qis),
-            r_qi)
-        outs.append(w32.mod_add32(r_signed, pm, qis))
-    out = jnp.stack(outs, axis=-2)
+    # m as integer via aux-basis Garner, assembled at every ct prime
+    garner_a = (_garner_digits_scan if A >= _SCAN_MIN_L
+                else _garner_digits_stacked)
+    digs_m, neg_m = garner_a(aux_moduli, m_res)
+    m_q = _horner_mod_all(aux_moduli, digs_m, neg_m, moduli)  # [.., L, n]
+    pm = w32.shoup_mul32(m_q, t_qi, t_qi_sh, qv)
+    # r mod q_i for all i at once: Horner over the lift digits (MSD first),
+    # minus prod when centered-negative
+    one_sh_q = arr([w32.mont_consts32(m)["one_shoup"] for m in moduli])
+    r_qi = w32.shoup_reduce32(vs_rl[n_lift - 1][..., None, :], qv, one_sh_q)
+    for j in range(n_lift - 2, -1, -1):
+        vj = w32.shoup_reduce32(vs_rl[j][..., None, :], qv, one_sh_q)
+        r_qi = w32.mod_add32(
+            w32.shoup_mul32(
+                r_qi, arr([cst["lift_pi_qi"][i][j] for i in range(L)]),
+                arr([cst["lift_pi_qi_sh"][i][j] for i in range(L)]), qv),
+            vj, qv)
+    r_signed = jnp.where(r_neg[..., None, :],
+                         w32.mod_sub32(r_qi, arr(cst["lift_prod_qi"]), qv),
+                         r_qi)
+    out = w32.mod_add32(r_signed, pm, qv)
     if not eval_out:
         return out
     return from_coeff_residues32(ctb, out)
@@ -1059,21 +1180,20 @@ def _rns_digits32(params: NarrowParams, poly, res=None):
     if res is None:
         res = to_coeff_residues32(basis, poly)
     cst = _rns_gadget_consts(moduli)
-    outs = []
-    for i, qi in enumerate(moduli):
-        qis = jnp.uint32(qi)
-        wi = w32.shoup_mul32(res[..., i, :], jnp.uint32(cst["gamma"][i]),
-                             jnp.uint32(cst["gamma_sh"][i]), qis)
-        neg = wi > jnp.uint32(qi // 2)
-        mag = jnp.where(neg, qis - wi, wi)
-        rows = []
-        for j, qj in enumerate(moduli):
-            qjs = jnp.uint32(qj)
-            one_sh = jnp.uint32(w32.mont_consts32(qj)["one_shoup"])
-            m = w32.shoup_reduce32(mag, qjs, one_sh)
-            rows.append(jnp.where(neg & (m != 0), qjs - m, m))
-        outs.append(jnp.stack(rows, axis=-2))
-    digits = jnp.stack(outs, axis=-3)
+    q = basis.q.reshape(-1, 1)  # [L, 1]
+    gamma = jnp.asarray(np.array(cst["gamma"], dtype=np.uint32))[:, None]
+    gamma_sh = jnp.asarray(np.array(cst["gamma_sh"],
+                                    dtype=np.uint32))[:, None]
+    wi = w32.shoup_mul32(res, gamma, gamma_sh, q)        # [..., L, n]
+    neg = wi > q // jnp.uint32(2)
+    mag = jnp.where(neg, q - wi, wi)
+    # spread each centered digit across all L primes: digit axis -3,
+    # target-prime axis -2 (one broadcast instead of an L^2 unrolled loop)
+    one_sh = jnp.asarray(np.array(
+        [w32.mont_consts32(m)["one_shoup"] for m in moduli],
+        dtype=np.uint32))[:, None]
+    m = w32.shoup_reduce32(mag[..., :, None, :], q, one_sh)
+    digits = jnp.where(neg[..., :, None, :] & (m != 0), q - m, m)
     return from_coeff_residues32(basis, digits)
 
 
