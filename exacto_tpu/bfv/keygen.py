@@ -33,6 +33,19 @@ class SecretKey:
     poly: RnsPoly
     params: BfvParams
 
+    def destroy(self) -> None:
+        """Best-effort key hygiene (the reference zeroizes SecretKey on
+        Drop, keygen.rs:19-26).  JAX arrays are immutable, so the buffers
+        are FREED immediately instead (jax.Array.delete); later use of the
+        key raises a deleted-buffer error — the use-after-drop contract
+        at the API level."""
+        for buf in jax.tree_util.tree_leaves(self.poly):
+            if hasattr(buf, "delete"):
+                try:
+                    buf.delete()
+                except Exception:
+                    pass
+
 
 @flax.struct.dataclass
 class PublicKey:

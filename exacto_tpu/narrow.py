@@ -353,6 +353,21 @@ class NarrowSecretKey:
     # reference bfv_host.rs:292-325) and noise meters can phase-check
     signed: jnp.ndarray = None
 
+    def destroy(self) -> None:
+        """Best-effort key hygiene (the reference zeroizes SecretKey on
+        Drop via the zeroize crate, keygen.rs:13-26).  JAX arrays are
+        immutable, so in-place zeroization is impossible; instead the
+        device/host buffers are FREED immediately (jax.Array.delete)
+        rather than lingering until GC.  Any later use of this key raises
+        a deleted-buffer error — matching Rust's use-after-drop contract
+        at the API level."""
+        for buf in (self.poly, self.signed):
+            if buf is not None and hasattr(buf, "delete"):
+                try:
+                    buf.delete()
+                except Exception:
+                    pass
+
 
 @flax.struct.dataclass
 class NarrowRelinKey:
@@ -732,13 +747,18 @@ def _garner_digits_scan(moduli: tuple, res):
             xn = w32.shoup_mul32(xn, inv[j, i], inv_sh[j, i], mj)
             return jnp.where(i < j, xn, x), None
 
+        # inner fully unrolled: O(L) ops per outer trip keeps the whole
+        # program O(L) while killing the L^2 scan-trip overhead that made
+        # the first scan version 2x slower at runtime
         x, _ = jax.lax.scan(inner, xj, (jnp.arange(L, dtype=jnp.uint32),
-                                        digs))
+                                        digs), unroll=True)
         return jax.lax.dynamic_update_index_in_dim(digs, x, j, 0), None
 
     digs0 = jnp.zeros_like(res_l)
+    # outer partially unrolled: program stays O(4L), trip count L/4
     digs, _ = jax.lax.scan(outer, digs0,
-                           (jnp.arange(L, dtype=jnp.uint32), res_l))
+                           (jnp.arange(L, dtype=jnp.uint32), res_l),
+                           unroll=4)
 
     half = jnp.asarray(np.array(cst["half_digits"], dtype=np.uint32))
 
@@ -749,7 +769,8 @@ def _garner_digits_scan(moduli: tuple, res):
 
     neg, _ = jax.lax.scan(sign_step,
                           jnp.zeros(res_l.shape[1:], dtype=bool),
-                          (jnp.arange(L, dtype=jnp.uint32), digs))
+                          (jnp.arange(L, dtype=jnp.uint32), digs),
+                          unroll=True)
     return digs, neg
 
 
@@ -795,7 +816,8 @@ def _horner_mod_all(moduli: tuple, digs, neg, targets: tuple):
 
     if L > 1:
         idx = jnp.arange(L - 2, -1, -1, dtype=jnp.uint32)
-        acc, _ = jax.lax.scan(step, acc, (idx, digs_t[L - 2::-1]))
+        acc, _ = jax.lax.scan(step, acc, (idx, digs_t[L - 2::-1]),
+                              unroll=True)
     bigmod = jnp.asarray(hc["bigmod"]).reshape(-1, 1)
     return jnp.where(neg[..., None, :],
                      w32.mod_sub32(acc, bigmod, ps), acc)

@@ -51,3 +51,31 @@ def noise_budget_bits(ct, sk: SecretKey) -> float:
     if noise == 0:
         return float("inf")
     return math.log2(delta / (2.0 * noise))
+
+
+def narrow_noise_inf(ct, sk) -> int:
+    """Infinity-norm phase noise for a narrow ciphertext (any L): exact
+    object-int CRT of phase = c0 + c1*s, centered distance to Delta*m with
+    m re-derived by decryption.  Host verification meter, not a hot op."""
+    from .. import narrow as nr
+    from ..ring import hostmath as hm
+
+    params = ct.params
+    basis = params.ct_basis
+    phase = nr.np_add(basis, ct.c0, nr.np_mul(basis, ct.c1, sk.poly))
+    res = np.asarray(nr.to_coeff_residues32(basis, phase)).astype(object)
+    big_q = params.big_q
+    ts = [(big_q // m) * hm.mod_inv((big_q // m) % m, m)
+          for m in params.moduli]
+    x = sum(t * res[..., i, :] for i, t in enumerate(ts)) % big_q
+    m = np.asarray(nr.decrypt(ct, sk), dtype=np.uint64).astype(object)
+    delta = params.delta
+    diff = (x - delta * m) % big_q
+    diff = np.where(diff > big_q // 2, diff - big_q, diff)
+    return int(np.abs(diff).max())
+
+
+def narrow_dbfv_max_limb_noise(ct, sk) -> int:
+    """Max over limbs of the narrow BFV phase noise (reference meter role:
+    paper_repro.rs:275-281)."""
+    return narrow_noise_inf(ct.limbs, sk)

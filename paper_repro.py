@@ -158,9 +158,113 @@ def run_profile(profile: Profile, n: int, batch: int):
                 compile_enc=compile_enc)
 
 
+def run_narrow_d4(n: int, batch: int):
+    """d=4 / b=2^16 over the narrow engine's 3-prime Q (u64_dbfv_d4):
+    the row that FIXES the reference's own d=4 parity failure (its 60-bit
+    Q leaves Delta/2 = 2^24 << the multiply noise; h=64 sparse secret
+    keeps the (t/2)*||s||_1 HPS rounding term under budget)."""
+    import jax
+
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.utils.noise import narrow_dbfv_max_limb_noise
+
+    params = nr.u64_dbfv_d4(n) if n >= 4096 else None
+    if params is None:
+        qs = nr.find_narrow_primes(n, 3, 30)
+        ps = nr.find_narrow_primes(n, 4, 30, skip=qs)
+        bfv = nr.NarrowParams.create(n, (1 << 35) - 1, qs, ps,
+                                     gadget_mode="rns")
+        params = nr.NarrowDbfvParams(base=1 << 16, num_digits=4,
+                                     plain_modulus=0, bfv=bfv)
+    sk = nr.gen_secret_key(jax.random.PRNGKey(21), params.bfv,
+                           hamming_weight=64)
+    rlk = nr.gen_relin_key(jax.random.PRNGKey(22), sk)
+    rng = np.random.default_rng(4)
+    vals_a = rng.integers(0, 1 << 63, batch, dtype=np.uint64) * 2 + 1
+    vals_b = rng.integers(0, 1 << 63, batch, dtype=np.uint64) * 2 + 1
+
+    def enc(k, v):
+        return nr.dbfv_encrypt_sk(k, v, sk, params)
+
+    jax.block_until_ready(enc(jax.random.PRNGKey(30), vals_a).limbs.c0)
+    times = []
+    for i in range(5):
+        t0 = time.time()
+        jax.block_until_ready(enc(jax.random.PRNGKey(i), vals_a).limbs.c0)
+        times.append(time.time() - t0)
+    enc_ms = min(times) * 1e3 / batch
+    ct_a = enc(jax.random.PRNGKey(31), vals_a)
+    ct_b = enc(jax.random.PRNGKey(32), vals_b)
+
+    K_ADD = 64
+
+    def add_chain(x, y):
+        acc = x
+        for _ in range(K_ADD):
+            acc = nr.dbfv_add(acc, y)
+        return acc
+
+    addk = jax.jit(add_chain)
+    jax.block_until_ready(addk(ct_a, ct_b).limbs.c0)
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        jax.block_until_ready(addk(ct_a, ct_b).limbs.c0)
+        times.append(time.time() - t0)
+    add_us = min(times) * 1e6 / K_ADD / batch
+
+    mul = nr.dbfv_mul  # internally jitted on accelerator backends
+    t0 = time.time()
+    out = mul(ct_a, ct_b, rlk)
+    jax.block_until_ready(out.limbs.c0)
+    compile_mul = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = mul(ct_a, ct_b, rlk)
+        jax.block_until_ready(out.limbs.c0)
+        times.append(time.time() - t0)
+    mul_ms = min(times) * 1e3 / batch
+
+    def take0(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x[:, :1] if hasattr(x, "ndim") and x.ndim >= 4 else x,
+            tree)
+
+    got = np.asarray(nr.dbfv_decrypt(take0(out), sk),
+                     dtype=np.uint64).reshape(-1)[0]
+    want = (int(vals_a[0]) * int(vals_b[0])) % (1 << 64)
+    parity = bool(int(got) == want)
+    noise_in = max(narrow_dbfv_max_limb_noise(take0(ct_a), sk), 1)
+    noise_out = narrow_dbfv_max_limb_noise(take0(out), sk)
+    growth = noise_out / noise_in
+
+    depth = 0
+    acc = ct_a
+    expected = int(vals_a[0])
+    for d in range(1, 9):
+        lhs = acc.replace(mul_depth=0)
+        try:
+            nxt = mul(lhs, ct_b, rlk)
+        except Exception:
+            break
+        expected = (expected * int(vals_b[0])) % (1 << 64)
+        if int(np.asarray(nr.dbfv_decrypt(take0(nxt), sk),
+                          dtype=np.uint64).reshape(-1)[0]) != expected:
+            break
+        depth = d
+        acc = nxt
+    prof = Profile("d=4, b=2^16 (narrow 3-prime Q, h=64)", 1 << 16, 4,
+                   (1 << 35) - 1, 0)
+    return dict(profile=prof, enc_ms=enc_ms, add_us=add_us, mul_ms=mul_ms,
+                growth=growth, parity=parity, unsafe_depth=depth,
+                batch=batch, throughput=1e3 / mul_ms,
+                compile_mul=compile_mul, compile_enc=0.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--profiles", default="d4,d8,d16")
+    ap.add_argument("--profiles", default="d4,d8,d16,d4n")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
@@ -169,7 +273,17 @@ def main():
     batch = 8 if args.quick else args.batch
     results = []
     for name in args.profiles.split(","):
-        prof = PROFILES[name.strip()]
+        name = name.strip()
+        if name == "d4n":
+            print(f"running d=4 narrow 3-prime profile (n={n}, batch={batch})...")
+            results.append(run_narrow_d4(n, batch))
+            r = results[-1]
+            print(f"  enc {r['enc_ms']:.3f} ms | add {r['add_us']:.2f} us | "
+                  f"mul {r['mul_ms']:.3f} ms/op ({r['throughput']:.0f} ops/s) | "
+                  f"growth {r['growth']:.2e} | parity {r['parity']} | "
+                  f"unsafe depth {r['unsafe_depth']}")
+            continue
+        prof = PROFILES[name]
         print(f"running {prof.name} (n={n}, batch={batch})...")
         results.append(run_profile(prof, n, batch))
         r = results[-1]
@@ -178,6 +292,9 @@ def main():
               f"growth {r['growth']:.2e} | parity {r['parity']} | "
               f"unsafe depth {r['unsafe_depth']}")
 
+    if args.quick:
+        print("(--quick: not overwriting reports/paper_reproduction.md)")
+        return
     os.makedirs("reports", exist_ok=True)
     with open("reports/paper_reproduction.md", "w") as f:
         f.write("# Paper reproduction (exacto_tpu, single TPU chip)\n\n")

@@ -110,3 +110,30 @@ def test_production_presets_enforce_security():
     from exacto_tpu import narrow as nr
 
     nr.u64_dbfv_fast(4096)
+
+
+def test_secret_key_destroy():
+    """Key-hygiene API (reference zeroizes SecretKey on Drop,
+    keygen.rs:13-26): destroy() frees the buffers; any later use fails."""
+    import jax
+    import pytest
+
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.bfv import gen_secret_key as wide_gen
+    from exacto_tpu.params.presets import compact_bfv
+
+    qs = nr.find_narrow_primes(64, 2, 30)
+    ps = nr.find_narrow_primes(64, 3, 30, skip=qs)
+    params = nr.NarrowParams.create(64, 257, qs, ps)
+    sk = nr.gen_secret_key(jax.random.PRNGKey(0), params)
+    sk.destroy()
+    with pytest.raises(Exception):
+        _ = np.asarray(sk.poly) + 0
+
+    wparams = compact_bfv()
+    wsk = wide_gen(jax.random.PRNGKey(1), wparams)
+    wsk.destroy()
+    with pytest.raises(Exception):
+        jax.block_until_ready(
+            [leaf + 0 for leaf in jax.tree_util.tree_leaves(wsk.poly)
+             if hasattr(leaf, "ndim")])
