@@ -83,7 +83,7 @@ def _fwd_kernel(consts_ref, lo_ref, hi_ref, tw_lo_ref, tw_hi_ref,
     for s in range(logn):
         t = n >> (s + 1)
         u, v, mask = _partner_pair(lo, hi, t, R)
-        sv = (tw_lo_ref[l, s], tw_hi_ref[l, s])
+        sv = (tw_lo_ref[0, s], tw_hi_ref[0, s])
         wv = w.mont_mul(v, sv, q, qinv)
         top = w.mod_add64(u, wv, q)
         bot = w.mod_sub64(u, wv, q)
@@ -107,7 +107,7 @@ def _inv_kernel(consts_ref, lo_ref, hi_ref, tw_lo_ref, tw_hi_ref,
         u, v, mask = _partner_pair(lo, hi, t, R)
         top = w.mod_add64(u, v, q)
         diff = w.mod_sub64(u, v, q)
-        sv = (tw_lo_ref[l, s], tw_hi_ref[l, s])
+        sv = (tw_lo_ref[0, s], tw_hi_ref[0, s])
         bot = w.mont_mul(diff, sv, q, qinv)
         lo = jnp.where(mask, top[0], bot[0])
         hi = jnp.where(mask, top[1], bot[1])

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from exacto_tpu.params import BfvParamsBuilder
@@ -157,3 +158,30 @@ def test_pallas_extend3_ntt_fused_matches_jnp(rng):
     got = npal.extend3_ntt_fused(jnp.asarray(res), params.moduli,
                                  params.aux_moduli, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled-kernel regression check needs a TPU")
+def test_wide_kernel_multi_modulus_compiled():
+    """Regression: the tw BlockSpec selects the l-th limb block, so the
+    in-kernel index must be 0.  Interpret mode CLAMPS an out-of-range
+    l to 0 (accidentally correct), so only the compiled kernel catches a
+    wrong index — at L >= 2 every limb > 0 got limb 0's twiddles."""
+    from exacto_tpu.ring import rns as R
+    from exacto_tpu.ring import ntt as nttmod
+    from exacto_tpu.ring import wordops as w
+    from exacto_tpu.ops import ntt_pallas as wpal
+
+    n = 512
+    mods = (18014398509998081, 36028797018972161)
+    basis = R.RnsBasis.create(mods, n)
+    rng = np.random.default_rng(0)
+    x = np.stack([rng.integers(0, q, size=(4, n), dtype=np.uint64)
+                  for q in mods], axis=1)
+    res = (jnp.asarray((x & 0xFFFFFFFF).astype(np.uint32)),
+           jnp.asarray((x >> 32).astype(np.uint32)))
+    mont = w.to_mont(res, basis.bq(1), basis.bqinv(1), basis.br2(1))
+    ref = nttmod.ntt_fwd(mont, basis.psi_rev, basis.q, basis.qinv)
+    got = wpal.ntt_fwd_fused(res, mods, to_mont=True, interpret=False)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
