@@ -34,6 +34,21 @@ class Ceilings:
 
 V5E = Ceilings()
 
+# MEASURED VPU unit costs on v5e (tools/calibrate_vpu.py, serial dependent
+# chains inside a VMEM-resident Pallas kernel, so nothing is elided):
+#   mont_mul32 (2 mullo + 2 mulhi + carries):  1960 Gmul/s  (0.51 ns/elem)
+#   lane roll + modadd:                        4800 G/s     (0.21 ns/elem)
+#   add + cmp + select (one modadd):           1625 G/s     (0.62 ns/elem)
+# Surprise that shapes the optimization order: the VPU's multiply pipes
+# make a full Montgomery multiply CHEAPER than one compare-select modadd,
+# and rolls are cheap — so butterfly cost is dominated by the
+# select/conditional-subtract traffic, which is why the Harvey lazy form
+# (no conditional subtract per twiddle product) wins and why further NTT
+# gains come from cutting selects/stage, not multiplies.
+VPU_MONT_GMULS = 1960.0
+VPU_ROLLADD_G = 4800.0
+VPU_MODADD_G = 1625.0
+
 # native-op costs of the wordops32 primitives (per element)
 MULLO = 1
 MULHI = 6

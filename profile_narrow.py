@@ -201,8 +201,21 @@ def main():
                   + models["relin"]["io_bytes"])
     print(f"  full-step HBM floor: {full_bytes / (rl.V5E.hbm_gbps * 1e9) * 1e3:.2f} ms "
           f"(measured {times['full']*1e3:.2f} ms -> "
-          f"{100 * full_bytes / (rl.V5E.hbm_gbps * 1e9) / times['full']:.1f}% of roofline; "
-          f"the gap is VPU u32-multiply throughput)")
+          f"{100 * full_bytes / (rl.V5E.hbm_gbps * 1e9) / times['full']:.1f}% of roofline)")
+    # measured VPU unit costs (tools/calibrate_vpu.py): butterfly stage ~
+    # 1 lazy-shoup (~1 mont) + 2 rolls + ~2 selects per element
+    stage_ns = (1.0 / rl.VPU_MONT_GMULS + 2.0 / rl.VPU_ROLLADD_G
+                + 2.0 / rl.VPU_MODADD_G)  # amortized ns per elem per stage
+    # lane-transform sweeps in the full step (extend x4: 2 INTT + 3 NTT
+    # lanes; hps x3: ~5; relin: ~2*gadget+2) at [B*d, n] elements
+    sweeps = 4 * (L + A) + 3 * (L + A) + 2 * bp.gadget_digits + 2
+    logn = n.bit_length() - 1
+    elems = B * d * n
+    ntt_floor = sweeps * logn * elems * stage_ns * 1e-9
+    print(f"  measured-unit VPU floor for the ~{sweeps} NTT lane-sweeps: "
+          f"{ntt_floor * 1e3:.2f} ms ({stage_ns * 1e3:.2f} ps/elem/stage "
+          f"amortized; selects cost more than multiplies on this VPU — "
+          f"see utils/roofline.py measured table)")
 
 
 if __name__ == "__main__":
