@@ -127,13 +127,30 @@ def _fwd_stages(x, tw_ref, twsh_ref, q, *, n, bt, tw_l=0, lazy=False):
     q2 = q + q
     for s in range(logn):
         t = n >> (s + 1)
-        u, v, mask = _partner_uv(x, t, bt, R)  # u, v in [0, 2q)
-        wv = _lazy_shoup(v, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)  # [0,2q)
-        add = u + wv                    # [0, 4q) < 2^32
-        add = jnp.where(add >= q2, add - q2, add)
-        sub = u + q2 - wv               # (0, 4q)
-        sub = jnp.where(sub >= q2, sub - q2, sub)
-        x = jnp.where(mask, add, sub)
+        # The stage twiddle is PAIR-CONSTANT (tw[s][j] == tw[s][j^t]: the
+        # differing bit is shifted out of the table index), so the product
+        # can be taken BEFORE the partner exchange: P[j] = w*x[j] on every
+        # lane, then the low lane reads its partner's product via the same
+        # roll the value exchange used.  3 selects/stage instead of 5 —
+        # measured VPU unit costs (utils/roofline.py) put one
+        # compare-select above one full multiply, so selects, not
+        # products, are the butterfly's cost center.
+        #   low  j: x[j] + w*x[j^t]        = x + roll_f(P)
+        #   high j: x[j^t] + 2q - w*x[j]   = roll_b(x) + (2q - P)
+        P = _lazy_shoup(x, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)  # [0,2q)
+        if t < _LANES:
+            col = jax.lax.broadcasted_iota(jnp.uint32, (1, R, _LANES), 2)
+            mask = (col & jnp.uint32(t)) == 0
+            own = jnp.where(mask, x, _roll(x, t, 2))
+            other = jnp.where(mask, _roll(P, -t % _LANES, 2), q2 - P)
+        else:
+            rt = t // _LANES
+            row = jax.lax.broadcasted_iota(jnp.uint32, (1, R, _LANES), 1)
+            mask = (row & jnp.uint32(rt)) == 0
+            own = jnp.where(mask, x, _roll(x, rt, 1))
+            other = jnp.where(mask, _roll(P, -rt % R, 1), q2 - P)
+        s_ = own + other                # < 4q < 2^32
+        x = jnp.where(s_ >= q2, s_ - q2, s_)
     return jnp.where(x >= q, x - q, x)
 
 
@@ -260,10 +277,25 @@ def _inv_stages(x, tw_ref, twsh_ref, q, post_w, post_sh, *, n, bt, tw_l=0,
     q2 = q + q
     for s in range(logn):
         t = 1 << s
-        u, v, mask = _partner_uv(x, t, bt, R)  # u, v in [0, 2q)
-        tot = u + v
-        tot = jnp.where(tot >= q2, tot - q2, tot)
-        diff = _lazy_shoup(u + q2 - v, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)
+        # Pair-constant twiddle (see _fwd_stages): compute the stage from
+        # two rolls and TWO selects instead of four.
+        #   low  j: x[j] + x[j^t]                    = x + roll_f(x)
+        #   high j: w*(x[j^t] - x[j] + 2q)           = lazy_shoup(D)
+        # D = roll_b(x) + 2q - x < 4q < 2^32; Harvey's bound holds for any
+        # u32 input, so no pre-normalization is needed.
+        if t < _LANES:
+            col = jax.lax.broadcasted_iota(jnp.uint32, (1, R, _LANES), 2)
+            mask = (col & jnp.uint32(t)) == 0
+            s_ = x + _roll(x, -t % _LANES, 2)
+            dv = _roll(x, t, 2) + q2 - x
+        else:
+            rt = t // _LANES
+            row = jax.lax.broadcasted_iota(jnp.uint32, (1, R, _LANES), 1)
+            mask = (row & jnp.uint32(rt)) == 0
+            s_ = x + _roll(x, -rt % R, 1)
+            dv = _roll(x, rt, 1) + q2 - x
+        tot = jnp.where(s_ >= q2, s_ - q2, s_)
+        diff = _lazy_shoup(dv, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)
         x = jnp.where(mask, tot, diff)
     return w32.shoup_mul32(x, post_w, post_sh, q)  # exact: [0, q) out
 
