@@ -15,10 +15,15 @@ fits a u64 pair (sum of two < 2^62 terms), so base extension Q->P, the HPS
 rounding term, and gadget decomposition are all EXACT — no approximate
 alpha-correction floats anywhere.
 
-Scope: secret-key BFV (keygen/encrypt/decrypt/add) and the dBFV
-digit-convolution multiply with deferred-sum HPS scaling + relinearization —
-the headline workload.  The wide engine (exacto_tpu.bfv/dbfv) remains the
-full-featured reference-parity surface.
+Scope (round 3): the full narrow capability surface — sk/pk keygen and
+encryption, decrypt, add/sub/neg, the dBFV digit-convolution multiply with
+deferred-sum HPS scaling + relinearization (the headline workload),
+automorphisms/Galois keys, trivial/plain ops, advanced dBFV ops
+(div_by_base, change_base), general-L parameter sets, and the production
+bootstrap host in `narrow_boot` (modswitch, phase re-encryption, trace,
+Paterson-Stockmeyer rounding eval, modswitch chain).  The wide engine
+(exacto_tpu.bfv/dbfv) remains the reference-parity surface at the
+reference's exact moduli.
 """
 
 from __future__ import annotations
@@ -246,16 +251,20 @@ def u64_dbfv_d4(n: int = 4096) -> NarrowDbfvParams:
     CORRECT: the reference runs it over a 60-bit Q, leaving Delta/2 = 2^24
     far below the ~2^51 multiply noise, so its own repro reports
     numerically wrong products (reports/paper_reproduction.md row 1).
-    A 3-prime narrow Q (~2^90, still 128-bit secure at n=4096 per the
-    HE-standard tables) gives Delta/2 ~ 2^54 and exact parity.  The HPS
-    round term (|r| <= t/2 ~ 2^34) lifts through a 2-aux-prime CRT pair.
+    A 3-prime narrow Q (~2^90) gives Delta/2 ~ 2^54 and exact parity.  The
+    HPS round term (|r| <= t/2 ~ 2^34) lifts through a 2-aux-prime CRT pair.
 
     Use a SPARSE secret (gen_secret_key(..., hamming_weight=64)): the
     dominant post-mul noise at this t is the HPS rounding term
     ~ (t/2) * ||s||_1 ~ 2^34 * ||s||_1, so the dense-ternary ||s||_1 ~
     2n/3 = 2731 would overflow Delta/2 ~ 2^54; h = 64 leaves ~8 bits of
-    margin (the same sparse-secret technique every production CKKS/BFV
-    bootstrapping stack uses)."""
+    margin (the same sparse-secret technique CKKS/BFV bootstrapping stacks
+    use).  SECURITY CAVEAT: the HE-standard tables (and this repo's
+    estimator) assume uniform ternary secrets, for which n=4096 /
+    log2 Q ~ 90 clears 128 bits; a sparse h=64 secret admits
+    hybrid/combinatorial attacks that reduce concrete security below that
+    figure by an amount this repo does not quantify.  Treat this preset as
+    a correctness/performance profile, not a 128-bit-secure deployment."""
     qs = find_narrow_primes(n, 3, 30)
     ps = find_narrow_primes(n, 4, 30, skip=qs)
     bfv = NarrowParams.create(n, (1 << 35) - 1, qs, ps, gadget_mode="rns")

@@ -303,20 +303,28 @@ def main():
                 "noise growth | parity | unsafe depth |\n")
         f.write("|---|---:|---:|---:|---:|---:|---|---:|\n")
         for r in results:
+            par = str(r['parity'])
+            if not r['parity']:
+                par += " [^wrong]"
             f.write(f"| {r['profile'].name} | {r['enc_ms']:.3f} | "
                     f"{r['add_us']:.3f} | {r['mul_ms']:.3f} | "
                     f"{r['throughput']:.0f} | {r['growth']:.2e} | "
-                    f"{r['parity']} | {r['unsafe_depth']} |\n")
+                    f"{par} | {r['unsafe_depth']} |\n")
         f.write(
-            "\nNotes: the plain `d=4, b=2^16` row reproduces the reference "
-            "configuration faithfully, including its numerically wrong "
-            "multiplies (60-bit Q leaves Delta/2 = 2^24 below the mul "
-            "noise; the reference repro times it without a decrypt "
-            "check).  The `narrow 3-prime Q, h=64` row is the FIXED d=4 "
-            "profile: Q ~ 2^90 (128-bit at n=4096) with an h=64 sparse "
-            "secret — parity True at 10x the reference's 8.881 ms/op.  "
-            "Reference add latency is 18-71 us/op (BASELINE.md); adds "
-            "here are amortized over a 64-deep on-device chain.\n")
+            "\n[^wrong]: parity False = this row times a numerically WRONG "
+            "multiply.  It reproduces the reference's own broken d=4 "
+            "configuration faithfully (60-bit Q leaves Delta/2 = 2^24 "
+            "below the mul noise; the reference repro times it without a "
+            "decrypt check).  See the fixed row below for the corrected "
+            "profile.\n"
+            "\nNotes: the `narrow 3-prime Q, h=64` row is the FIXED d=4 "
+            "profile: Q ~ 2^90 with an h=64 sparse secret — parity True "
+            "at 10x the reference's 8.881 ms/op.  (The HE-standard "
+            "128-bit figure for n=4096/log2 Q~90 assumes uniform ternary "
+            "secrets; the sparse h=64 secret gives lower, unquantified "
+            "concrete security.)  Reference add latency is 18-71 us/op "
+            "(BASELINE.md); adds here are amortized over a 64-deep "
+            "on-device chain.\n")
     print("wrote reports/paper_reproduction.md")
 
 
