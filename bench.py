@@ -229,6 +229,21 @@ def main_narrow(quick, batch, iters):
         except Exception as exc:  # noqa: BLE001 - report, don't fail bench
             extra["sweep_error"] = str(exc)[:120]
 
+    if os.environ.get("BENCH_SELFTEST", "1") not in ("0", "false"):
+        # compiled kernel-vs-jnp bit-exact checks for every fused kernel on
+        # the live backend (round-2 weak #3: interpret mode clamps OOB
+        # indices, so only compiled runs catch the 704bff2 bug class)
+        from exacto_tpu.utils.selftest import kernel_selftest
+
+        try:
+            st = kernel_selftest(n=n, batch=4)
+            extra["kernel_selftest"] = st.pop("ok")
+            if not extra["kernel_selftest"]:
+                extra["kernel_selftest_detail"] = st
+        except Exception as exc:  # noqa: BLE001
+            extra["kernel_selftest"] = False
+            extra["kernel_selftest_error"] = str(exc)[:120]
+
     print(json.dumps({
         "metric": "batched u64 dBFV muls/sec/chip (p=2^64, d=8, b=256, n=%d, "
                   "narrow RNS)" % n,

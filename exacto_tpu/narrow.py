@@ -272,6 +272,36 @@ def u64_dbfv_d4(n: int = 4096) -> NarrowDbfvParams:
                             bfv=bfv)
 
 
+@lru_cache(maxsize=None)
+def u64_dbfv_b2(n: int = 4096) -> NarrowDbfvParams:
+    """BOOTSTRAPPABLE u64 profile: p = 2^64 as d = 64 BINARY digits (b = 2),
+    t = 2^8.  The flagship d=8/b=256 profile (u64_dbfv_fast) needs
+    t = 1040407 > 2d(b-1)^2, and no rounding-polynomial bootstrap can reach
+    a t that large: the interpolation domain is every reachable re-encrypted
+    phase z, |z| <= q'(h+2)/2 with t | q', so the polynomial degree is
+    ~ q'(h+1) >= 32*t*(h+1) ~ 2^25 multiplies at t ~ 2^20 — structurally
+    infeasible (this also rules out the t = 2^21 variant of the flagship).
+    The base-2 profile keeps every post-multiply limb value <= d = 64
+    (digit products are 0/1; for p = b^d the degree-reduction reps are all
+    zero, so limbs j >= d are simply dropped), so t = 2^8 > 2*64 suffices
+    — and t = 2^8 | 2^e_lo makes the narrow_boot rounding pipeline apply
+    as-is with degree ~ 2^13 (h+1): the SAME pipeline the n=4096 demo runs,
+    at u64 capability.  Trade-off: the limb convolution is d=64 Karatsuba
+    (3^6 = 729 products vs 27 at d=8), so per-multiply throughput is lower;
+    this is the depth-capable profile, u64_dbfv_fast stays the throughput
+    profile.  Reference contract this enables at production parameters:
+    dbfv_mul_then_bootstrap / dbfv_mul_chain_then_bootstrap,
+    /root/reference/src/bootstrap/bfv_host.rs:242-288 (the reference itself
+    only ever bootstraps n=16 toys).
+
+    Noise: post-mul limb values <= 64 need t > 128 for signed recompose;
+    mul noise ~ t*2n ~ 2^21 against Delta/2 = Q/(2t) ~ 2^51."""
+    qs = find_narrow_primes(n, 2, 30)
+    ps = find_narrow_primes(n, 3, 30, skip=qs)
+    bfv = NarrowParams.create(n, 256, qs, ps, gadget_base=1 << 21)
+    return NarrowDbfvParams(base=2, num_digits=64, plain_modulus=0, bfv=bfv)
+
+
 # ---------------------------------------------------------------------------
 # polynomial ops (single u32 [..., L, n], Montgomery NTT domain)
 # ---------------------------------------------------------------------------
@@ -1654,6 +1684,72 @@ def dbfv_change_base(ct: NarrowDbfvCiphertext, new_base: int,
         mul_depth=ct.mul_depth, params=new_params)
 
 
+@lru_cache(maxsize=None)
+def _limb_ntt_tables(moduli: tuple, dt: int):
+    """Twiddle tables for the SECOND-LEVEL NTT over the digit axis (length
+    dt = 2d), one per RNS prime.  Standard-form twiddles + Shoup companions
+    so Montgomery-domain data stays Montgomery through the transform."""
+    tabs = [w32.build_psi_tables32(m, dt) for m in moduli]
+    u32a = lambda v: jnp.asarray(np.array(v, dtype=np.uint32))
+    return {
+        "psi_std": jnp.asarray(np.stack([t["psi_std"] for t in tabs])),
+        "psi_shoup": jnp.asarray(np.stack([t["psi_shoup"] for t in tabs])),
+        "ipsi_std": jnp.asarray(np.stack([t["ipsi_std"] for t in tabs])),
+        "ipsi_shoup": jnp.asarray(np.stack([t["ipsi_shoup"]
+                                            for t in tabs])),
+        "ninv_std": u32a([t["ninv_std"] for t in tabs]),
+        "ninv_std_shoup": u32a([w32.shoup_const32(int(t["ninv_std"]), m)
+                                for t, m in zip(tabs, moduli)]),
+    }
+
+
+def _tensor3_limb_ntt(basis, a0, a1, b0, b1, d, dout):
+    """Degree-2 tensor product with the limb convolution evaluated by a
+    second-level negacyclic NTT over the DIGIT axis.
+
+    The limb convolution IS a polynomial multiply in the digit variable B
+    (reference runs the d^2 products on rayon threads, dbfv/eval.rs:104-136;
+    the round-2 engine used an unrolled Karatsuba tree).  At d = 64 the
+    unrolled tree is 3^6 = 729 Montgomery products — a ~30k-op XLA program
+    with pathological compile times — so instead: zero-pad the d limbs to
+    dt = 2d, transform along the digit axis (linear conv degree 2d-2 < dt,
+    so the negacyclic wrap never triggers and the transform is exact),
+    multiply pointwise, transform back.  O(log d) program, ~3*(dt/2)log(dt)
+    + dt multiplies vs Karatsuba's 3^log2(d) — more FLOPs at small d (the
+    fused Pallas kernel keeps d <= 16), fewer from d = 64 up, and the
+    program size no longer grows with d at all.  Works per RNS prime
+    because dt | 2n | q-1 makes every narrow prime dt-NTT-friendly.
+
+    Inputs [d, ..., L, n] eval-Montgomery; returns (t0, t1, t2) each
+    [dout, ..., L, n] (dout = d truncates the p = b^d case)."""
+    moduli = basis.moduli
+    dt = 2 * d
+    tabs = _limb_ntt_tables(moduli, dt)
+    q, qinv = basis.q, basis.qinv
+    qb, qib = q.reshape(-1, 1), qinv.reshape(-1, 1)
+
+    def fwd(x):
+        pad = jnp.zeros((dt - d,) + x.shape[1:], dtype=x.dtype)
+        xp = jnp.concatenate([x, pad], axis=0)
+        xt = jnp.swapaxes(jnp.moveaxis(xp, 0, -1), -2, -3)  # [.., n, L, dt]
+        return w32.ntt_fwd32(xt, tabs["psi_std"], q, qinv,
+                             psi_shoup=tabs["psi_shoup"])
+
+    def inv(y):
+        x = w32.ntt_inv32(y, tabs["ipsi_std"], tabs["ninv_std"], q, qinv,
+                          ipsi_shoup=tabs["ipsi_shoup"],
+                          ninv_shoup=tabs["ninv_std_shoup"])
+        return jnp.moveaxis(jnp.swapaxes(x, -2, -3), -1, 0)[:dout]
+
+    A0, A1, B0, B1 = fwd(a0), fwd(a1), fwd(b0), fwd(b1)
+    T0 = w32.mont_mul32(A0, B0, qb, qib)
+    T2 = w32.mont_mul32(A1, B1, qb, qib)
+    TM = w32.mont_mul32(w32.mod_add32(A0, A1, qb),
+                        w32.mod_add32(B0, B1, qb), qb, qib)
+    T1 = w32.mod_sub32(w32.mod_sub32(TM, T0, qb), T2, qb)
+    return inv(T0), inv(T1), inv(T2)
+
+
 def _fold_eval(basis, x, reps, d):
     """Degree reduction IN THE EVAL DOMAIN: fold limbs j >= d of a
     [2d-1, ..., L, n] tensor (limb axis leading) back into the first d limbs
@@ -1762,8 +1858,22 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
 
     from .ops import limbconv_pallas as lcp
 
-    if (_config.pallas_limbconv_enabled() and lcp.supported(bp.ring_degree)
-            and d % 2 == 0):
+    all_zero_reps = all(all(int(c) == 0 for c in rep) for rep in reps)
+    if d >= 32 and (d & (d - 1)) == 0:
+        # large digit counts (the d=64 binary u64 profile): second-level
+        # NTT over the digit axis — the unrolled Karatsuba tree would be
+        # 3^log2(d) products with pathological XLA compile times
+        dout = d if all_zero_reps else 2 * d - 1
+        tq = _tensor3_limb_ntt(ctb, c10, c11, c20, c21, d, dout)
+        tp = _tensor3_limb_ntt(auxb, e10, e11, e20, e21, d, dout)
+        if dout != d:
+            tq = tuple(_fold_eval(ctb, t, reps, d) for t in tq)
+            tp = tuple(_fold_eval(auxb, t, reps, d) for t in tp)
+    # d <= 16: beyond that the in-kernel Karatsuba tree (3^log2(d) unrolled
+    # Montgomery products) overruns the VMEM live-set budget and Mosaic
+    # compile times
+    elif (_config.pallas_limbconv_enabled() and lcp.supported(bp.ring_degree)
+            and d % 2 == 0 and d <= 16):
         interp = jax.default_backend() != "tpu"
         tq = lcp.tensor3_fused(c10, c11, c20, c21, ctb.moduli, reps=reps_t,
                                interpret=interp)

@@ -83,6 +83,9 @@ class NarrowBootParams:
     hamming: int = flax.struct.field(pytree_node=False)
     orig: nr.NarrowDbfvParams = None
     boot: nr.NarrowParams = None
+    # estimated bit security of the boot scheme (n vs log2 Q_boot, uniform-
+    # ternary model; sparse secrets are weaker — see make_boot_params)
+    security_bits: float = flax.struct.field(pytree_node=False, default=0.0)
 
     @property
     def qprime(self) -> int:
@@ -122,14 +125,34 @@ def trace_elements(n: int) -> list:
 
 def make_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
                      l_extra: int, a_boot: int,
-                     t_boot: int | None = None) -> NarrowBootParams:
+                     t_boot: int | None = None,
+                     allow_insecure: bool = False) -> NarrowBootParams:
     """Build the boot scheme: Q_boot = orig 2 primes + `l_extra` fresh
-    narrow primes; t_boot = smallest prime covering the phase range."""
+    narrow primes; t_boot = smallest prime covering the phase range.
+
+    SECURITY GATE (the reference's estimator is dead code,
+    /root/reference/src/params/security.rs — here it is enforced): the boot
+    ciphertexts live mod Q_boot at the same ring degree n, so their RLWE
+    hardness is estimate_security_bits(n, log2 Q_boot).  Below 128 bits the
+    builder refuses unless `allow_insecure=True` (toy tests, capability
+    demos); the estimate assumes a uniform ternary secret — the sparse
+    hamming-h secrets this bootstrap uses for its phase bound are weaker
+    still (hybrid/combinatorial attacks, unquantified here).  The estimate
+    is stored as `security_bits` either way so harnesses can report it."""
     bfv = orig.bfv
     n = bfv.ring_degree
     qp = 1 << e_lo
     if qp % bfv.plain_modulus:
         raise InvalidParam("q' = 2^e_lo must be a multiple of t_orig")
+    # modswitch correctness margin: the q->q' rounding error is bounded by
+    # (1 + ||s||_1)/2 = (1+h)/2 and must stay under Delta'/2 = q'/(2 t);
+    # require 2x slack for the scaled-down original noise
+    delta_p = qp // bfv.plain_modulus
+    if delta_p < 2 * (hamming + 2):
+        raise InvalidParam(
+            f"Delta' = q'/t = {delta_p} leaves no modswitch noise margin "
+            f"for hamming weight {hamming} (need >= {2 * (hamming + 2)}; "
+            f"raise e_lo)")
     if t_boot is None:
         span = qp * (hamming + 1) + 2  # z_max - z_min + 1 margin
         t_boot = span + 1
@@ -141,7 +164,17 @@ def make_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
     boot_aux = extra[l_extra:]
     boot = nr.NarrowParams.create(n, t_boot, boot_ct, boot_aux,
                                   sigma=bfv.sigma, gadget_mode="rns")
-    return NarrowBootParams(e_lo=e_lo, hamming=hamming, orig=orig, boot=boot)
+    from .params.security import estimate_security_bits
+
+    log2_qboot = float(sum(np.log2(m) for m in boot_ct))
+    est = float(estimate_security_bits(n, log2_qboot))
+    if est < 128.0 and not allow_insecure:
+        raise InvalidParam(
+            f"boot scheme is ~{est:.0f}-bit secure (n={n}, "
+            f"log2 Q_boot={log2_qboot:.0f}) — below 128; pass "
+            f"allow_insecure=True for toy/demo parameters or raise n")
+    return NarrowBootParams(e_lo=e_lo, hamming=hamming, orig=orig, boot=boot,
+                            security_bits=est)
 
 
 def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
@@ -174,11 +207,13 @@ def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
 
 
 def auto_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
-                     margin_bits: int = 20) -> NarrowBootParams:
+                     margin_bits: int = 20,
+                     allow_insecure: bool = False) -> NarrowBootParams:
     """make_boot_params with l_extra / a_boot derived from the noise model."""
     l_extra, a_boot = auto_boot_sizes(orig, e_lo, hamming, margin_bits)
     return make_boot_params(orig, e_lo=e_lo, hamming=hamming,
-                            l_extra=l_extra, a_boot=a_boot)
+                            l_extra=l_extra, a_boot=a_boot,
+                            allow_insecure=allow_insecure)
 
 
 @lru_cache(maxsize=None)
@@ -314,9 +349,36 @@ def trace32(ct: nr.NarrowCiphertext, bk: NarrowBootKey):
 # step 4: rounding polynomial (host precompute + homomorphic P-S eval)
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=None)
+def _poly_cache_dir() -> str:
+    import os
+    d = os.environ.get("EXACTO_TPU_POLY_CACHE",
+                       os.path.join(os.path.expanduser("~"), ".cache",
+                                    "exacto_tpu", "rounding_polys"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def rounding_poly_coeffs(t_boot: int, t_orig: int, qprime: int, n: int,
                          z_min: int, z_max: int) -> tuple:
+    """Disk-cached wrapper of `_rounding_poly_coeffs`: the Newton
+    construction is O(degree^2) vectorized host work — minutes at the u64
+    profile's degree ~74k — and depends only on small integers, so it is
+    memoized to ~/.cache/exacto_tpu (override: EXACTO_TPU_POLY_CACHE)."""
+    import os
+    key = f"rp_{t_boot}_{t_orig}_{qprime}_{n}_{z_min}_{z_max}.npy"
+    path = os.path.join(_poly_cache_dir(), key)
+    if os.path.exists(path):
+        return tuple(int(v) for v in np.load(path))
+    out = _rounding_poly_coeffs(t_boot, t_orig, qprime, n, z_min, z_max)
+    tmp = path + f".tmp{os.getpid()}"
+    np.save(tmp, np.array(out, dtype=np.uint64))
+    os.replace(tmp, path)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _rounding_poly_coeffs(t_boot: int, t_orig: int, qprime: int, n: int,
+                          z_min: int, z_max: int) -> tuple:
     """Monomial coefficients (mod t_boot) of P with, for every integer
     z in [z_min, z_max]:
 
@@ -571,8 +633,9 @@ _switch_down_jit = jax.jit(switch_down)
 _bfv_mul_jit = jax.jit(nr.bfv_mul32)
 
 
-def bfv_bootstrap(ct: nr.NarrowCiphertext, bk: NarrowBootKey, mul=None):
-    """Refresh one (batched) scalar BFV ciphertext under the orig scheme."""
+def _bfv_bootstrap_whole(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
+                         mul=None):
+    """One full pipeline pass over the ciphertext as-is (no chunking)."""
     bp = bk.params
     orig_bfv = bp.orig.bfv
     boot = bp.boot
@@ -591,17 +654,91 @@ def bfv_bootstrap(ct: nr.NarrowCiphertext, bk: NarrowBootKey, mul=None):
     return _switch_down_jit(out, orig_bfv)
 
 
+def _auto_chunk(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
+                budget_bytes: int = 2 << 30) -> int | None:
+    """Leading-axis chunk size bounding the P-S working set (stacked baby
+    powers P0/P1 + giant blocks B0/B1 ~ 3 copies of [k, chunk, rest] u32
+    pairs) to ~`budget_bytes` of HBM.  None = no chunking needed."""
+    if ct.c0.ndim <= 2:
+        return None
+    zmin, zmax = bk.params.z_bounds
+    k = max(1, int(np.ceil(np.sqrt(zmax - zmin + 1))))
+    rest = 1
+    for s in ct.c0.shape[1:-2]:
+        rest *= s
+    boot = bk.params.boot
+    per_row = k * rest * len(boot.moduli) * boot.ring_degree * 4 * 2 * 3
+    return max(1, budget_bytes // per_row)
+
+
+def bfv_bootstrap(ct: nr.NarrowCiphertext, bk: NarrowBootKey, mul=None,
+                  chunk: int | None = None):
+    """Refresh one (batched) scalar BFV ciphertext under the orig scheme.
+
+    `chunk` bounds the leading-batch slices processed per pipeline pass:
+    the Paterson-Stockmeyer stage materializes ~3 stacked copies of
+    [k ~ sqrt(degree), batch, L, n], which at the u64 profile (64 limbs,
+    k ~ 272, L ~ 23) would be ~40 GB unchunked.  Default: auto-sized to a
+    ~2 GB P-S working set.  All chunks share one compile cache (identical
+    shapes) and one rounding-poly table."""
+    lead = ct.c0.shape[0] if ct.c0.ndim > 2 else None
+    if chunk is None:
+        chunk = _auto_chunk(ct, bk)
+    if lead is None or chunk is None or chunk >= lead:
+        return _bfv_bootstrap_whole(ct, bk, mul=mul)
+    outs = []
+    for s in range(0, lead, chunk):
+        sl = slice(s, min(s + chunk, lead))
+        piece = nr.NarrowCiphertext(
+            c0=ct.c0[sl], c1=ct.c1[sl],
+            c0c=None if ct.c0c is None else ct.c0c[sl],
+            c1c=None if ct.c1c is None else ct.c1c[sl],
+            params=ct.params)
+        outs.append(_bfv_bootstrap_whole(piece, bk, mul=mul))
+        jax.block_until_ready(outs[-1].c0)  # free the chunk's P-S set
+    cat = lambda xs: None if xs[0] is None else jnp.concatenate(xs, axis=0)
+    return nr.NarrowCiphertext(
+        c0=cat([o.c0 for o in outs]), c1=cat([o.c1 for o in outs]),
+        c0c=cat([o.c0c for o in outs]), c1c=cat([o.c1c for o in outs]),
+        params=outs[0].params)
+
+
 def dbfv_bootstrap(ct: nr.NarrowDbfvCiphertext, bk: NarrowBootKey,
-                   mul=None) -> nr.NarrowDbfvCiphertext:
+                   mul=None, chunk: int | None = None
+                   ) -> nr.NarrowDbfvCiphertext:
     """Bootstrap every limb of a scalar dBFV ciphertext in one batched
     pipeline (the limb axis rides the leading batch dims); resets
     mul_depth (reference dbfv_bootstrap, bfv_host.rs:212-236 — there a
     rayon loop over limbs)."""
-    fresh = bfv_bootstrap(ct.limbs, bk, mul=mul)
+    fresh = bfv_bootstrap(ct.limbs, bk, mul=mul, chunk=chunk)
     return nr.NarrowDbfvCiphertext(limbs=fresh, mul_depth=0,
                                    params=ct.params)
 
 
-def dbfv_mul_then_bootstrap(ct1, ct2, rlk, bk, mul=None):
+def dbfv_mul_then_bootstrap(ct1, ct2, rlk, bk, mul=None, chunk=None):
     """Multiply then refresh (reference bfv_host.rs:242-250)."""
-    return dbfv_bootstrap(nr.dbfv_mul(ct1, ct2, rlk), bk, mul=mul)
+    return dbfv_bootstrap(nr.dbfv_mul(ct1, ct2, rlk), bk, mul=mul,
+                          chunk=chunk)
+
+
+def dbfv_mul_chain_then_bootstrap(cts, rlk, bk, mul=None, chunk=None):
+    """Left fold of a multiplication chain with refresh-on-demand
+    (reference dbfv_mul_chain_then_bootstrap, bfv_host.rs:258-288): any
+    input at mul_depth >= 1 is bootstrapped before entering the next
+    multiply, and the final product is refreshed too, so the result is
+    always depth-0 and chainable.  Unlike the reference there is no
+    stale-params bookkeeping or rlk selection: this bootstrap returns
+    ciphertexts in the ORIGINAL basis (the modswitch-down chain restores
+    Q_orig), so the caller's `rlk` stays valid throughout and the boot
+    scheme's relin key (bk.rlk) is only used inside the refresh."""
+    cts = list(cts)
+    if not cts:
+        raise InvalidParam("empty multiplication chain")
+    acc = cts[0]
+    for ct in cts[1:]:
+        if acc.mul_depth >= 1:
+            acc = dbfv_bootstrap(acc, bk, mul=mul, chunk=chunk)
+        if ct.mul_depth >= 1:
+            ct = dbfv_bootstrap(ct, bk, mul=mul, chunk=chunk)
+        acc = nr.dbfv_mul(acc, ct, rlk)
+    return dbfv_bootstrap(acc, bk, mul=mul, chunk=chunk)

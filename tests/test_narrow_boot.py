@@ -54,7 +54,8 @@ def boot_setup():
     orig = nr.NarrowDbfvParams(base=2, num_digits=8, plain_modulus=256,
                                bfv=bfv)
     bparams = nb.make_boot_params(orig, e_lo=E_LO, hamming=HAMMING,
-                                  l_extra=10, a_boot=13)
+                                  l_extra=10, a_boot=13,
+                                  allow_insecure=True)  # n=256 toy
     sk = nr.gen_secret_key(jax.random.PRNGKey(1), bfv,
                            hamming_weight=HAMMING)
     rlk = nr.gen_relin_key(jax.random.PRNGKey(2), sk)

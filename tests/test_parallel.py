@@ -154,3 +154,91 @@ def test_limb_sharded_narrow_mul_n4096():
     prod = jax.jit(lambda x, y, r: nr.dbfv_mul(x, y, r))(ct1, ct2, rlk_r)
     got = np.asarray(nr.dbfv_decrypt(prod, sk), dtype=np.uint64)
     np.testing.assert_array_equal(got, a * b)
+
+
+# ---------------------------------------------------------------------------
+# explicit-collective digit convolution (shard_map over the limb axis)
+# ---------------------------------------------------------------------------
+
+def _auto_conv3(a0, a1, b0, b1, q, qi, d):
+    """Single-program jnp truncated tensor3 (the auto-sharding baseline):
+    XLA propagates the limb sharding and inserts collectives itself."""
+    from exacto_tpu.ring import wordops32 as w32
+    import jax.numpy as jnp
+
+    s0 = w32.mod_add32(a0, a1, q)
+    s1 = w32.mod_add32(b0, b1, q)
+
+    def conv(x, y):
+        outs = []
+        for k in range(d):
+            acc = None
+            for i in range(k + 1):
+                p = w32.mont_mul32(x[i], y[k - i], q, qi)
+                acc = p if acc is None else w32.mod_add32(acc, p, q)
+            outs.append(acc)
+        return jnp.stack(outs)
+
+    t0 = conv(a0, b0)
+    t2 = conv(a1, b1)
+    tm = conv(s0, s1)
+    t1 = w32.mod_sub32(w32.mod_sub32(tm, t0, q), t2, q)
+    return t0, t1, t2
+
+
+@pytest.mark.slow
+def test_shardmap_conv_matches_auto_and_times(capsys):
+    """The explicit shard_map digit convolution (all_gather + local
+    anti-diagonal partials) is bit-identical to the auto-sharded jnp
+    program on the 8-device CPU mesh at n=4096, and its relative timing is
+    reported (VERDICT round-2 item 7: the last SURVEY section-2 row)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.parallel import make_mesh
+    from exacto_tpu.parallel.shardmap_conv import (conv_shardings,
+                                                   tensor3_conv_shardmap)
+    from exacto_tpu.ring import wordops32 as w32
+
+    n, d, L = 4096, 8, 2
+    moduli = nr.find_narrow_primes(n, L, 30)
+    q = jnp.asarray(np.array(moduli, dtype=np.uint32)).reshape(-1, 1)
+    qi = jnp.asarray(np.array(
+        [w32.mont_consts32(m)["qinv_neg"] for m in moduli],
+        dtype=np.uint32)).reshape(-1, 1)
+    rng = np.random.default_rng(0)
+
+    def rnd():
+        return jnp.asarray(np.stack(
+            [rng.integers(0, m, size=(d, 1, n)).astype(np.uint32)
+             for m in moduli], axis=-2))
+
+    a0, a1, b0, b1 = rnd(), rnd(), rnd(), rnd()
+    mesh = make_mesh({"limb": 8})
+    sh = conv_shardings(mesh, a0.ndim)
+    a0s, a1s, b0s, b1s = (jax.device_put(x, sh) for x in (a0, a1, b0, b1))
+
+    explicit = jax.jit(lambda *xs: tensor3_conv_shardmap(*xs, moduli, mesh))
+    auto = jax.jit(lambda *xs: _auto_conv3(*xs, q, qi, d),
+                   in_shardings=(sh,) * 4, out_shardings=(sh,) * 3)
+
+    ref = auto(a0s, a1s, b0s, b1s)
+    got = explicit(a0s, a1s, b0s, b1s)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+    def timeit(fn):
+        jax.block_until_ready(fn(a0s, a1s, b0s, b1s))
+        t0 = time.time()
+        for _ in range(3):
+            out = fn(a0s, a1s, b0s, b1s)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / 3
+
+    t_auto, t_exp = timeit(auto), timeit(explicit)
+    with capsys.disabled():
+        print(f"\n[shardmap_conv] n={n} d={d} 8-dev CPU mesh: "
+              f"auto {t_auto*1e3:.1f} ms, shard_map {t_exp*1e3:.1f} ms, "
+              f"ratio {t_exp/t_auto:.2f}x")
