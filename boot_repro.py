@@ -41,7 +41,8 @@ def hbm_peak_gb():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--profile", choices=["p256", "u64"], default="p256")
+    ap.add_argument("--profile", choices=["p256", "u64", "u64chain"],
+                    default="p256")
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--e-lo", type=int, default=None)
     ap.add_argument("--hamming", type=int, default=None)
@@ -73,13 +74,24 @@ def main():
         print(json.dumps({"phase": name, "s": round(dt, 2)}), flush=True)
         return time.time()
 
+    split_base = 0
     if args.profile == "u64":
         # bootstrappable u64: p = 2^64, d = 64 binary digits, t = 2^8
+        # (noise refresh only — limb VALUES are preserved, so use the
+        # u64chain profile for multiply chains)
         e_lo = args.e_lo if args.e_lo is not None else 13
         hamming = args.hamming if args.hamming is not None else 8
         orig = nr.u64_dbfv_b2(n)
         pmod = 1 << 64
         d = 64
+    elif args.profile == "u64chain":
+        # value-reducing chain profile: t = 2^11, base-4 digit-split boot
+        e_lo = args.e_lo if args.e_lo is not None else 15
+        hamming = args.hamming if args.hamming is not None else 4
+        orig = nr.u64_dbfv_b2_chain(n)
+        pmod = 1 << 64
+        d = 64
+        split_base = 4
     else:
         e_lo = args.e_lo if args.e_lo is not None else 10
         hamming = args.hamming if args.hamming is not None else 8
@@ -92,7 +104,8 @@ def main():
         d = 8
 
     bparams = nb.auto_boot_params(orig, e_lo=e_lo, hamming=hamming,
-                                  allow_insecure=True)
+                                  allow_insecure=True,
+                                  split_base=split_base)
     zmin, zmax = bparams.z_bounds
     degree = zmax - zmin
     secure = bparams.security_bits >= 128
@@ -105,6 +118,8 @@ def main():
         "l_boot": len(bparams.boot.moduli),
         "a_boot": len(bparams.boot.aux_moduli),
         "poly_degree": degree,
+        "split_base": split_base,
+        "n_split_digits": bparams.n_split_digits,
         "security_bits": round(bparams.security_bits, 1),
         "secure_128": secure}), flush=True)
 
@@ -116,13 +131,25 @@ def main():
     jax.block_until_ready(bk.rlk.rlk0)
     t = stamp("keygen_s", t)
 
-    # host precompute of the rounding polynomial (disk-cached)
-    nb.rounding_poly_coeffs(bparams.boot.plain_modulus,
-                            orig.bfv.plain_modulus,
-                            1 << e_lo, n, zmin, zmax)
+    # host precompute of the rounding polynomial(s) (disk-cached)
+    if split_base:
+        for i in range(bparams.n_split_digits):
+            nb.rounding_poly_coeffs(bparams.boot.plain_modulus,
+                                    orig.bfv.plain_modulus,
+                                    1 << e_lo, n, zmin, zmax,
+                                    split_base=split_base, digit=i,
+                                    in_u=True)
+    else:
+        nb.rounding_poly_coeffs(bparams.boot.plain_modulus,
+                                orig.bfv.plain_modulus,
+                                1 << e_lo, n, zmin, zmax)
     t = stamp("rounding_poly_host_s", t)
 
     rng = np.random.default_rng(7)
+    # u64 products wrap in uint64 arithmetic already; % (1<<64) would make
+    # numpy choke on a Python int above C long
+    wrap = ((lambda x: x) if pmod == 1 << 64 else
+            (lambda x: x % np.uint64(pmod)))
     batches = [int(b) for b in args.batch.split(",")]
     sweep = []
     ok_all = True
@@ -138,8 +165,9 @@ def main():
         prod = nr.dbfv_mul(ct_a, ct_b, rlk)
         jax.block_until_ready(prod.limbs.c0)
         got1 = np.asarray(nr.dbfv_decrypt(prod, sk), dtype=np.uint64)
-        ok1 = bool(np.array_equal(got1, (a * b) % pmod))
+        ok1 = bool(np.array_equal(got1, wrap(a * b)))
 
+        ws = nb.ps_working_set(prod.limbs, bk, chunk=args.chunk)
         tb = time.time()
         fresh = nb.dbfv_bootstrap(prod, bk, chunk=args.chunk)
         jax.block_until_ready(fresh.limbs.c0)
@@ -149,7 +177,7 @@ def main():
             print(json.dumps({"phase": "bootstrap_cold_s",
                               "s": round(cold, 2)}), flush=True)
         got2 = np.asarray(nr.dbfv_decrypt(fresh, sk), dtype=np.uint64)
-        ok2 = bool(np.array_equal(got2, (a * b) % pmod))
+        ok2 = bool(np.array_equal(got2, wrap(a * b)))
 
         tb = time.time()
         fresh2 = nb.dbfv_bootstrap(prod, bk, chunk=args.chunk)
@@ -158,12 +186,12 @@ def main():
 
         prod2 = nr.dbfv_mul(fresh, ct_c, rlk)
         got3 = np.asarray(nr.dbfv_decrypt(prod2, sk), dtype=np.uint64)
-        ok3 = bool(np.array_equal(got3, (a * b * c) % pmod))
+        ok3 = bool(np.array_equal(got3, wrap(a * b * c)))
         ok_all = ok_all and ok1 and ok2 and ok3
         row = {"batch": B, "bootstrap_warm_s": round(warm, 2),
                "amortized_s_per_value": round(warm / B, 3),
                "amortized_ms_per_limb": round(warm / (B * d) * 1e3, 1),
-               "hbm_peak_gb": hbm_peak_gb(),
+               "hbm_peak_gb": hbm_peak_gb(), **ws,
                "mul1_ok": ok1, "post_boot_ok": ok2, "chain_ok": ok3}
         sweep.append(row)
         print(json.dumps(row), flush=True)
@@ -182,7 +210,7 @@ def main():
         got = np.asarray(nr.dbfv_decrypt(out, sk), dtype=np.uint64)
         want = vals[0].copy()
         for i in range(1, k):
-            want = (want * vals[i]) % pmod
+            want = wrap(want * vals[i])
         ok_chain = bool(np.array_equal(got, want))
         ok_all = ok_all and ok_chain
         chain_row = {"chain_depth": args.chain, "chain_s": round(chain_s, 1),
@@ -241,10 +269,12 @@ def main():
         for row in sweep:
             lines.append(
                 "| warm refresh, batch %d | %.2f s total, %.3f s/value, "
-                "%.1f ms/limb amortized; HBM peak %s GB |"
+                "%.1f ms/limb amortized; P-S working set ~%s GB "
+                "(chunk %s x %s passes) |"
                 % (row["batch"], row["bootstrap_warm_s"],
                    row["amortized_s_per_value"],
-                   row["amortized_ms_per_limb"], row["hbm_peak_gb"]))
+                   row["amortized_ms_per_limb"], row["ps_working_set_gb"],
+                   row["chunk"], row["n_chunks"]))
         if chain_row:
             lines.append(
                 "| depth-%d mul chain (chain_then_bootstrap) | %.1f s, "

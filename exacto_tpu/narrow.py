@@ -302,6 +302,24 @@ def u64_dbfv_b2(n: int = 4096) -> NarrowDbfvParams:
     return NarrowDbfvParams(base=2, num_digits=64, plain_modulus=0, bfv=bfv)
 
 
+@lru_cache(maxsize=None)
+def u64_dbfv_b2_chain(n: int = 4096) -> NarrowDbfvParams:
+    """CHAIN variant of u64_dbfv_b2: t = 2^11 so the value-reducing
+    (digit-split) bootstrap closes the loop on limb magnitudes.  The
+    fixpoint: the split emits n_split_digits = log4(t/2) = 5 base-4 digits
+    per limb, bounding refreshed limb values at V = 5*3 = 15; an
+    accumulator x fresh multiply then sums <= d = 64 products of
+    V x bit, so post-mul limbs are <= 960 < t/2 = 1024 — every chain step
+    re-enters the bootstrap in range, for unlimited left-fold depth
+    (narrow_boot.dbfv_bootstrap_split; t = 2^8 has no such fixpoint).
+    Reference contract: dbfv_mul_chain_then_bootstrap,
+    /root/reference/src/bootstrap/bfv_host.rs:258-288."""
+    qs = find_narrow_primes(n, 2, 30)
+    ps = find_narrow_primes(n, 3, 30, skip=qs)
+    bfv = NarrowParams.create(n, 2048, qs, ps, gadget_base=1 << 21)
+    return NarrowDbfvParams(base=2, num_digits=64, plain_modulus=0, bfv=bfv)
+
+
 # ---------------------------------------------------------------------------
 # polynomial ops (single u32 [..., L, n], Montgomery NTT domain)
 # ---------------------------------------------------------------------------
@@ -1690,13 +1708,14 @@ def _limb_ntt_tables(moduli: tuple, dt: int):
     dt = 2d), one per RNS prime.  Standard-form twiddles + Shoup companions
     so Montgomery-domain data stays Montgomery through the transform."""
     tabs = [w32.build_psi_tables32(m, dt) for m in moduli]
-    u32a = lambda v: jnp.asarray(np.array(v, dtype=np.uint32))
+    u32a = lambda v: np.array(v, dtype=np.uint32)
+    # NUMPY values only: this cache is shared across jit traces, and a jnp
+    # array created inside one trace is a tracer that must not escape it
     return {
-        "psi_std": jnp.asarray(np.stack([t["psi_std"] for t in tabs])),
-        "psi_shoup": jnp.asarray(np.stack([t["psi_shoup"] for t in tabs])),
-        "ipsi_std": jnp.asarray(np.stack([t["ipsi_std"] for t in tabs])),
-        "ipsi_shoup": jnp.asarray(np.stack([t["ipsi_shoup"]
-                                            for t in tabs])),
+        "psi_std": np.stack([t["psi_std"] for t in tabs]),
+        "psi_shoup": np.stack([t["psi_shoup"] for t in tabs]),
+        "ipsi_std": np.stack([t["ipsi_std"] for t in tabs]),
+        "ipsi_shoup": np.stack([t["ipsi_shoup"] for t in tabs]),
         "ninv_std": u32a([t["ninv_std"] for t in tabs]),
         "ninv_std_shoup": u32a([w32.shoup_const32(int(t["ninv_std"]), m)
                                 for t, m in zip(tabs, moduli)]),

@@ -86,6 +86,26 @@ class NarrowBootParams:
     # estimated bit security of the boot scheme (n vs log2 Q_boot, uniform-
     # ternary model; sparse secrets are weaker — see make_boot_params)
     security_bits: float = flax.struct.field(pytree_node=False, default=0.0)
+    # split_base > 0 selects the VALUE-REDUCING bootstrap: each limb value
+    # m < t/2 is split into its base-`split_base` digits, scattered to
+    # higher limbs (digit i of limb j lands at limb j + i*log2(split_base)
+    # for b=2 schemes), so refreshed limbs are bounded by
+    # n_split_digits*(split_base-1) and accumulator x fresh multiply
+    # chains never overflow t — the dBFV carry problem (a plain refresh
+    # preserves the conv-sum limb values, so a SECOND multiply overflows
+    # t/2; caught on TPU in round 3).  Costs one rounding polynomial per
+    # digit, sharing the Paterson-Stockmeyer baby/giant powers.
+    split_base: int = flax.struct.field(pytree_node=False, default=0)
+
+    @property
+    def n_split_digits(self) -> int:
+        if not self.split_base:
+            return 0
+        t = self.orig.bfv.plain_modulus
+        nd = 1
+        while self.split_base ** nd < t // 2:
+            nd += 1
+        return nd
 
     @property
     def qprime(self) -> int:
@@ -126,7 +146,9 @@ def trace_elements(n: int) -> list:
 def make_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
                      l_extra: int, a_boot: int,
                      t_boot: int | None = None,
-                     allow_insecure: bool = False) -> NarrowBootParams:
+                     allow_insecure: bool = False,
+                     split_base: int = 0,
+                     t_boot_factor: int = 1) -> NarrowBootParams:
     """Build the boot scheme: Q_boot = orig 2 primes + `l_extra` fresh
     narrow primes; t_boot = smallest prime covering the phase range.
 
@@ -155,9 +177,15 @@ def make_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
             f"raise e_lo)")
     if t_boot is None:
         span = qp * (hamming + 1) + 2  # z_max - z_min + 1 margin
-        t_boot = span + 1
+        # t_boot_factor > 1 leaves headroom between the reinterpret noise
+        # floor Q/(2 t_boot) and the next multiply's Delta/2 budget — the
+        # digit-split chain path needs ~8x (64-term limb convolutions
+        # amplify the floor by ~d)
+        t_boot = span * max(1, t_boot_factor) + 1
         while not hm.is_prime(t_boot):
             t_boot += 1
+        if t_boot >= 1 << 31:
+            raise InvalidParam("t_boot exceeds the narrow-prime range")
     used = tuple(bfv.moduli) + tuple(bfv.aux_moduli)
     extra = nr.find_narrow_primes(n, l_extra + a_boot, 30, skip=used)
     boot_ct = tuple(bfv.moduli) + extra[:l_extra]
@@ -174,11 +202,12 @@ def make_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
             f"log2 Q_boot={log2_qboot:.0f}) — below 128; pass "
             f"allow_insecure=True for toy/demo parameters or raise n")
     return NarrowBootParams(e_lo=e_lo, hamming=hamming, orig=orig, boot=boot,
-                            security_bits=est)
+                            security_bits=est, split_base=split_base)
 
 
 def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
-                    hamming: int, margin_bits: int = 20) -> tuple:
+                    hamming: int, margin_bits: int = 20,
+                    t_boot_factor: int = 1) -> tuple:
     """(l_extra, a_boot) from a worst-case noise model — ROADMAP item 6
     (round 1 hand-sized these per profile).
 
@@ -190,7 +219,7 @@ def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
     n = orig.bfv.ring_degree
     qp = 1 << e_lo
     span = qp * (hamming + 1) + 2
-    t_boot = span + 1
+    t_boot = span * max(1, t_boot_factor) + 1
     while not hm.is_prime(t_boot):
         t_boot += 1
     degree = span - 1
@@ -208,12 +237,22 @@ def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
 
 def auto_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
                      margin_bits: int = 20,
-                     allow_insecure: bool = False) -> NarrowBootParams:
-    """make_boot_params with l_extra / a_boot derived from the noise model."""
-    l_extra, a_boot = auto_boot_sizes(orig, e_lo, hamming, margin_bits)
+                     allow_insecure: bool = False,
+                     split_base: int = 0,
+                     t_boot_factor: int | None = None) -> NarrowBootParams:
+    """make_boot_params with l_extra / a_boot derived from the noise model.
+    split_base selects the value-reducing (chain) bootstrap; its t_boot
+    factor defaults to 8 (reinterpret-noise headroom for the next limb
+    convolution)."""
+    if t_boot_factor is None:
+        t_boot_factor = 8 if split_base else 1
+    l_extra, a_boot = auto_boot_sizes(orig, e_lo, hamming, margin_bits,
+                                      t_boot_factor=t_boot_factor)
     return make_boot_params(orig, e_lo=e_lo, hamming=hamming,
                             l_extra=l_extra, a_boot=a_boot,
-                            allow_insecure=allow_insecure)
+                            allow_insecure=allow_insecure,
+                            split_base=split_base,
+                            t_boot_factor=t_boot_factor)
 
 
 @lru_cache(maxsize=None)
@@ -359,18 +398,27 @@ def _poly_cache_dir() -> str:
 
 
 def rounding_poly_coeffs(t_boot: int, t_orig: int, qprime: int, n: int,
-                         z_min: int, z_max: int) -> tuple:
+                         z_min: int, z_max: int, split_base: int = 0,
+                         digit: int = 0, in_u: bool = False) -> tuple:
     """Disk-cached wrapper of `_rounding_poly_coeffs`: the Newton
     construction is O(degree^2) vectorized host work — minutes at the u64
     profile's degree ~74k — and depends only on small integers, so it is
-    memoized to ~/.cache/exacto_tpu (override: EXACTO_TPU_POLY_CACHE)."""
+    memoized to ~/.cache/exacto_tpu (override: EXACTO_TPU_POLY_CACHE).
+
+    split_base > 0 selects the DIGIT-SPLITTING variant: the table value is
+    digit `digit` of m in base split_base (instead of m itself) — the
+    value-reduction bootstrap evaluates one such polynomial per digit (see
+    dbfv_bootstrap's digit-split path)."""
     import os
-    key = f"rp_{t_boot}_{t_orig}_{qprime}_{n}_{z_min}_{z_max}.npy"
+    key = (f"rp_{t_boot}_{t_orig}_{qprime}_{n}_{z_min}_{z_max}"
+           + (f"_s{split_base}d{digit}" if split_base else "")
+           + ("_u" if in_u else "") + ".npy")
     path = os.path.join(_poly_cache_dir(), key)
     if os.path.exists(path):
         return tuple(int(v) for v in np.load(path))
-    out = _rounding_poly_coeffs(t_boot, t_orig, qprime, n, z_min, z_max)
-    tmp = path + f".tmp{os.getpid()}"
+    out = _rounding_poly_coeffs(t_boot, t_orig, qprime, n, z_min, z_max,
+                                split_base, digit, in_u)
+    tmp = path + f".tmp{os.getpid()}.npy"  # np.save appends .npy otherwise
     np.save(tmp, np.array(out, dtype=np.uint64))
     os.replace(tmp, path)
     return out
@@ -378,7 +426,8 @@ def rounding_poly_coeffs(t_boot: int, t_orig: int, qprime: int, n: int,
 
 @lru_cache(maxsize=None)
 def _rounding_poly_coeffs(t_boot: int, t_orig: int, qprime: int, n: int,
-                          z_min: int, z_max: int) -> tuple:
+                          z_min: int, z_max: int, split_base: int = 0,
+                          digit: int = 0, in_u: bool = False) -> tuple:
     """Monomial coefficients (mod t_boot) of P with, for every integer
     z in [z_min, z_max]:
 
@@ -395,6 +444,8 @@ def _rounding_poly_coeffs(t_boot: int, t_orig: int, qprime: int, n: int,
     vals = []
     for z in zs:
         m = ((int(z) % qprime) + delta_p // 2) // delta_p % t_orig
+        if split_base:
+            m = (m // split_base**digit) % split_base
         vals.append((m * t_boot + t_orig // 2) // t_orig % p)
     f = np.array(vals, dtype=np.uint64)
     d = len(f) - 1
@@ -425,6 +476,15 @@ def _rounding_poly_coeffs(t_boot: int, t_orig: int, qprime: int, n: int,
         poly[0] = (poly[0] + int(cs[k])) % p
         if deg < 0:
             deg = 0
+    if in_u:
+        # caller evaluates at u = n^{-1} x - z_min directly (the affine map
+        # is one plain scalar-mul + plain-add on the ciphertext), skipping
+        # the O(degree^2) composition pass — half the host time, which
+        # matters at the chain profiles' degree ~2e5 x n_split_digits
+        out = poly[:deg + 1].copy()
+        while len(out) > 1 and out[-1] == 0:
+            out = out[:-1]
+        return tuple(int(v) for v in out)
     # compose u = n^{-1} * x - z_min  (x = n*z mod p): Horner again
     a = int(hm.mod_inv(n % p, p))
     b = (-z_min) % p
@@ -503,11 +563,34 @@ def eval_poly_ps(ct: nr.NarrowCiphertext, coeffs: tuple,
     y = x^k by recursive halving (depth ceil(log2 g)) — the reference's
     giant-step HORNER (digit_extract.rs:100-157) would cost depth g.
     `mul(a, b)` hook lets callers supply a jitted multiply."""
+    if len(coeffs) <= 1:
+        return _plain_const(coeffs[0] if coeffs else 0, ct.params)
+    out = _eval_poly_ps_impl(ct, (tuple(coeffs),), rlk, mul)
+    return nr.NarrowCiphertext(c0=out.c0[0], c1=out.c1[0],
+                               params=out.params)
+
+
+def eval_poly_ps_multi(ct: nr.NarrowCiphertext, coeffs_list,
+                       rlk: nr.NarrowRelinKey, mul=None):
+    """nu polynomials of the SAME ciphertext in one Paterson-Stockmeyer
+    pass: the baby powers, the block-combine device pass, the giant
+    y-powers AND every combine-tree multiply are shared — the nu block
+    sets ride a leading axis through the tree, so the marginal cost of an
+    extra polynomial is FLOPs, not extra multiplies.  Returns a ciphertext
+    with a leading [nu] axis.  (The digit-splitting bootstrap evaluates
+    one polynomial per output digit this way.)"""
+    return _eval_poly_ps_impl(ct, tuple(tuple(c) for c in coeffs_list),
+                              rlk, mul)
+
+
+def _eval_poly_ps_impl(ct: nr.NarrowCiphertext, polys: tuple,
+                       rlk: nr.NarrowRelinKey, mul=None):
+    nu = len(polys)
     if mul is None:
         mul = lambda a, b: nr.bfv_mul32(a, b, rlk)
-    d = len(coeffs) - 1
+    d = max(len(c) for c in polys) - 1
     if d <= 0:
-        return _plain_const(coeffs[0] if coeffs else 0, ct.params)
+        raise InvalidParam("degree-0 multi-poly evaluation is pointless")
     params = ct.params
     k = max(1, int(np.ceil(np.sqrt(d + 1))))
     powers = {1: ct}
@@ -522,10 +605,10 @@ def eval_poly_ps(ct: nr.NarrowCiphertext, coeffs: tuple,
     for j in range(2, k + 1):
         power(j)
 
-    # all giant blocks sum_i coeffs[b*k+i] x^i in ONE device pass over the
-    # stacked baby powers (x^0 = the trivial Delta constant).  Buffers are
-    # released stage-by-stage: at the production shape (k ~ 96, n = 4096,
-    # L ~ 17) each stacked copy is ~4 GB of HBM.
+    # all giant blocks of all nu polys, sum_i coeffs[b*k+i] x^i, in ONE
+    # device pass over the stacked baby powers (x^0 = the trivial Delta
+    # constant).  Buffers are released stage-by-stage: at the production
+    # shape each stacked copy is GBs of HBM (see _auto_chunk).
     g = (d + k) // k
     one = _plain_const(1, params)
     bshape = ct.c0.shape
@@ -535,14 +618,18 @@ def eval_poly_ps(ct: nr.NarrowCiphertext, coeffs: tuple,
     P1 = jnp.stack([jnp.zeros(bshape, dtype=jnp.uint32)]
                    + [powers[j].c1 for j in range(1, k)])
     powers.clear()
-    Cw, Csh = _block_coeff_tables(coeffs, k, g, params.moduli)
+    tabs = [_block_coeff_tables(c, k, g, params.moduli) for c in polys]
+    Cw = jnp.concatenate([t[0] for t in tabs], axis=1)   # [k, nu*g, L]
+    Csh = jnp.concatenate([t[1] for t in tabs], axis=1)
     B0, B1 = _combine_blocks_kernel(P0, P1, Cw, Csh,
                                     params.ct_basis.q.reshape(-1, 1))
     del P0, P1
     jax.block_until_ready(B0)
-    blocks = [nr.NarrowCiphertext(c0=B0[b], c1=B1[b], params=params)
+    B0r = B0.reshape((nu, g) + tuple(bshape))
+    B1r = B1.reshape((nu, g) + tuple(bshape))
+    blocks = [nr.NarrowCiphertext(c0=B0r[:, b], c1=B1r[:, b], params=params)
               for b in range(g)]
-    del B0, B1
+    del B0, B1, B0r, B1r
 
     ypows = {1: xk}
 
@@ -560,6 +647,9 @@ def eval_poly_ps(ct: nr.NarrowCiphertext, coeffs: tuple,
             half *= 2
         lo = combine(bs[:half])
         hi = combine(bs[half:])
+        # hi carries the [nu] axis; ypow has the plain batch shape — the
+        # multiply broadcasts, so the tree costs (g-1) multiplies total
+        # regardless of nu
         return nr.ct_add(lo, mul(hi, ypow(half)))
 
     return combine(blocks)
@@ -654,21 +744,156 @@ def _bfv_bootstrap_whole(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
     return _switch_down_jit(out, orig_bfv)
 
 
+def _bfv_bootstrap_digits(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
+                          mul=None):
+    """Digit-splitting pipeline pass: returns a ciphertext with a leading
+    [n_split_digits] axis, entry i encrypting digit i (base split_base) of
+    each input limb value, already reinterpreted to t_orig and switched
+    down to Q_orig."""
+    bp = bk.params
+    orig_bfv = bp.orig.bfv
+    boot = bp.boot
+    n = orig_bfv.ring_degree
+    qp = 1 << bp.e_lo
+    tr = _prologue_jit(ct, bk)
+    zmin, zmax = bp.z_bounds
+    # affine pre-map u = n^{-1} x - z_min on the ciphertext (scalar mul +
+    # plain add), so the digit tables skip their composition pass
+    t_boot = boot.plain_modulus
+    inv_n = hm.mod_inv(n % t_boot, t_boot)
+    tr = nr.ct_scalar_mul(tr, inv_n)
+    mz = np.zeros(n, dtype=np.uint64)
+    mz[0] = (-zmin) % t_boot
+    tr = nr.plain_add(tr, mz)
+    coeffs_list = [
+        rounding_poly_coeffs(t_boot, bp.t_orig, qp, n, zmin,
+                             zmax, split_base=bp.split_base, digit=i,
+                             in_u=True)
+        for i in range(bp.n_split_digits)]
+    rlk_ct = nr.NarrowRelinKey(rlk0=bk.rlk.rlk0, rlk1=bk.rlk.rlk1,
+                               params=boot)
+    if mul is None:
+        mul = lambda a, b: _bfv_mul_jit(a, b, rlk_ct)
+    out = eval_poly_ps_multi(tr, coeffs_list, rlk_ct, mul=mul)
+    out = _reinterpret(out, bp.t_orig)
+    return _switch_down_jit(out, orig_bfv)
+
+
+def dbfv_bootstrap_split(ct: nr.NarrowDbfvCiphertext, bk: NarrowBootKey,
+                         mul=None, chunk: int | None = None
+                         ) -> nr.NarrowDbfvCiphertext:
+    """VALUE-REDUCING refresh (requires boot params built with
+    split_base > 0): each limb value m_j < t/2 is refreshed AND split into
+    its base-split_base digits, scattered up the limb axis (digit i of
+    limb j adds to limb j + i*log_b(split_base)), so output limb values
+    are bounded by n_split_digits*(split_base-1) no matter how large the
+    inputs' conv sums were.  This is what makes accumulator-x-fresh
+    multiply chains run forever: a plain refresh preserves the limb
+    VALUES, and a second multiply of unreduced values overflows t/2 (the
+    dBFV carry problem — observed on TPU as a wrong depth-2 decrypt).
+
+    The reference has no analogue (its bootstrap never reduces values —
+    its chains only survive because n=16 toy noise dies first,
+    bfv_host.rs:242-288)."""
+    bp = bk.params
+    if not bp.split_base:
+        raise InvalidParam("boot params lack split_base (chain mode)")
+    base = bp.orig.base
+    step = 0
+    sb = bp.split_base
+    while base ** (step + 1) <= sb:
+        step += 1
+    if base ** step != sb:
+        raise InvalidParam("split_base must be a power of the dBFV base")
+    nu = bp.n_split_digits
+    limbs = ct.limbs
+    lead = limbs.c0.shape[0]
+    if chunk is None:
+        chunk = _auto_chunk(limbs, bk, nu=nu) or lead
+    pieces = []
+    for s in range(0, lead, chunk):
+        sl = slice(s, min(s + chunk, lead))
+        piece = nr.NarrowCiphertext(
+            c0=limbs.c0[sl], c1=limbs.c1[sl],
+            c0c=None if limbs.c0c is None else limbs.c0c[sl],
+            c1c=None if limbs.c1c is None else limbs.c1c[sl],
+            params=limbs.params)
+        pieces.append(_bfv_bootstrap_digits(piece, bk, mul=mul))
+        jax.block_until_ready(pieces[-1].c0)
+    cat = lambda xs: None if xs[0] is None else jnp.concatenate(xs, axis=1)
+    dig = nr.NarrowCiphertext(
+        c0=cat([p.c0 for p in pieces]), c1=cat([p.c1 for p in pieces]),
+        c0c=cat([p.c0c for p in pieces]),
+        c1c=cat([p.c1c for p in pieces]), params=pieces[0].params)
+
+    d = lead
+    q = bp.orig.bfv.ct_basis.q.reshape(-1, 1)
+
+    def scat(x):  # [nu, d, ..., L, n] -> [d, ..., L, n] digit scatter-add
+        if x is None:
+            return None
+        acc = x[0]
+        for i in range(1, nu):
+            sh = i * step
+            if sh >= d:
+                break  # p = b^d: limbs beyond d vanish (2^64 wrap)
+            zeros = jnp.zeros_like(x[i, :sh])
+            acc = w32.mod_add32(
+                acc, jnp.concatenate([zeros, x[i, :d - sh]], axis=0), q)
+        return acc
+
+    fresh = nr.NarrowCiphertext(c0=scat(dig.c0), c1=scat(dig.c1),
+                                c0c=scat(dig.c0c), c1c=scat(dig.c1c),
+                                params=dig.params)
+    return nr.NarrowDbfvCiphertext(limbs=fresh, mul_depth=0,
+                                   params=ct.params)
+
+
 def _auto_chunk(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
-                budget_bytes: int = 2 << 30) -> int | None:
+                budget_bytes: int = 5 << 30, nu: int = 1) -> int | None:
     """Leading-axis chunk size bounding the P-S working set (stacked baby
-    powers P0/P1 + giant blocks B0/B1 ~ 3 copies of [k, chunk, rest] u32
-    pairs) to ~`budget_bytes` of HBM.  None = no chunking needed."""
+    powers P0/P1 + giant blocks B0/B1 + the power dict ~ 3 copies of
+    [k, chunk, rest] u32 pairs) to ~`budget_bytes` of HBM.  Rounded so the
+    leading axis splits into EQUAL chunks (unequal tails would double the
+    jit shapes and the cold compile).  None = no chunking needed."""
     if ct.c0.ndim <= 2:
         return None
+    lead = ct.c0.shape[0]
     zmin, zmax = bk.params.z_bounds
     k = max(1, int(np.ceil(np.sqrt(zmax - zmin + 1))))
     rest = 1
     for s in ct.c0.shape[1:-2]:
         rest *= s
     boot = bk.params.boot
+    # u32 copies per leading row: power dict + P0/P1 stacks (~4) plus the
+    # giant blocks B0/B1 (~2 per polynomial being evaluated)
+    per_row = (k * rest * len(boot.moduli) * boot.ring_degree * 4
+               * (4 + 2 * nu))
+    chunk = max(1, budget_bytes // per_row)
+    if chunk >= lead:
+        return None
+    while lead % chunk:  # largest divisor of lead <= the budget size
+        chunk -= 1
+    return chunk
+
+
+def ps_working_set(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
+                   chunk: int | None = None) -> dict:
+    """Analytic Paterson-Stockmeyer HBM high-water bound for this
+    ciphertext/chunking (the axon runtime reports no memory_stats, so the
+    harness states the bound instead of a measured peak)."""
+    zmin, zmax = bk.params.z_bounds
+    k = max(1, int(np.ceil(np.sqrt(zmax - zmin + 1))))
+    lead = ct.c0.shape[0] if ct.c0.ndim > 2 else 1
+    rest = 1
+    for s in ct.c0.shape[1:-2]:
+        rest *= s
+    boot = bk.params.boot
     per_row = k * rest * len(boot.moduli) * boot.ring_degree * 4 * 2 * 3
-    return max(1, budget_bytes // per_row)
+    if chunk is None:
+        chunk = _auto_chunk(ct, bk) or lead
+    return {"chunk": chunk, "n_chunks": -(-lead // chunk),
+            "ps_working_set_gb": round(per_row * chunk / 2**30, 2)}
 
 
 def bfv_bootstrap(ct: nr.NarrowCiphertext, bk: NarrowBootKey, mul=None,
@@ -709,7 +934,10 @@ def dbfv_bootstrap(ct: nr.NarrowDbfvCiphertext, bk: NarrowBootKey,
     """Bootstrap every limb of a scalar dBFV ciphertext in one batched
     pipeline (the limb axis rides the leading batch dims); resets
     mul_depth (reference dbfv_bootstrap, bfv_host.rs:212-236 — there a
-    rayon loop over limbs)."""
+    rayon loop over limbs).  Boot params built with split_base route to
+    the value-reducing digit-split pipeline (chainable output)."""
+    if bk.params.split_base:
+        return dbfv_bootstrap_split(ct, bk, mul=mul, chunk=chunk)
     fresh = bfv_bootstrap(ct.limbs, bk, mul=mul, chunk=chunk)
     return nr.NarrowDbfvCiphertext(limbs=fresh, mul_depth=0,
                                    params=ct.params)

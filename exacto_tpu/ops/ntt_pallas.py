@@ -69,7 +69,8 @@ def _partner_pair(lo, hi, t, R):
 
 
 def _fwd_kernel(consts_ref, lo_ref, hi_ref, tw_lo_ref, tw_hi_ref,
-                out_lo_ref, out_hi_ref, *, n, bt, pre):
+                twsh_lo_ref, twsh_hi_ref, out_lo_ref, out_hi_ref, *,
+                n, bt, pre):
     l = pl.program_id(0)
     q = (consts_ref[l, 0], consts_ref[l, 1])
     qinv = (consts_ref[l, 2], consts_ref[l, 3])
@@ -83,8 +84,12 @@ def _fwd_kernel(consts_ref, lo_ref, hi_ref, tw_lo_ref, tw_hi_ref,
     for s in range(logn):
         t = n >> (s + 1)
         u, v, mask = _partner_pair(lo, hi, t, R)
+        # 3-mul Shoup twiddle product (standard-form stage vectors) —
+        # ROADMAP item 2: the 4-mul Montgomery pair product was ~25% of
+        # the butterfly cost
         sv = (tw_lo_ref[0, s], tw_hi_ref[0, s])
-        wv = w.mont_mul(v, sv, q, qinv)
+        ssh = (twsh_lo_ref[0, s], twsh_hi_ref[0, s])
+        wv = w.shoup_mul64(v, sv, ssh, q)
         top = w.mod_add64(u, wv, q)
         bot = w.mod_sub64(u, wv, q)
         lo = jnp.where(mask, top[0], bot[0])
@@ -94,7 +99,8 @@ def _fwd_kernel(consts_ref, lo_ref, hi_ref, tw_lo_ref, tw_hi_ref,
 
 
 def _inv_kernel(consts_ref, lo_ref, hi_ref, tw_lo_ref, tw_hi_ref,
-                out_lo_ref, out_hi_ref, *, n, bt, post):
+                twsh_lo_ref, twsh_hi_ref, out_lo_ref, out_hi_ref, *,
+                n, bt, post):
     l = pl.program_id(0)
     q = (consts_ref[l, 0], consts_ref[l, 1])
     qinv = (consts_ref[l, 2], consts_ref[l, 3])
@@ -108,7 +114,8 @@ def _inv_kernel(consts_ref, lo_ref, hi_ref, tw_lo_ref, tw_hi_ref,
         top = w.mod_add64(u, v, q)
         diff = w.mod_sub64(u, v, q)
         sv = (tw_lo_ref[0, s], tw_hi_ref[0, s])
-        bot = w.mont_mul(diff, sv, q, qinv)
+        ssh = (twsh_lo_ref[0, s], twsh_hi_ref[0, s])
+        bot = w.shoup_mul64(diff, sv, ssh, q)
         lo = jnp.where(mask, top[0], bot[0])
         hi = jnp.where(mask, top[1], bot[1])
     # post scalar: ninv Montgomery pair (keeps Montgomery) or standard-form
@@ -133,21 +140,34 @@ def _stage_tables(moduli: tuple, n: int):
     L = len(moduli)
     fwd = np.zeros((L, logn, n), dtype=np.uint64)
     inv = np.zeros((L, logn, n), dtype=np.uint64)
+    fwd_sh = np.zeros((L, logn, n), dtype=np.uint64)
+    inv_sh = np.zeros((L, logn, n), dtype=np.uint64)
     consts = np.zeros((L, 10), dtype=np.uint64)
     for li, q in enumerate(moduli):
         psi = hm.psi_2n(q, n)
         ipsi = hm.mod_inv(psi, q)
+        # STANDARD-form twiddles + Shoup companions floor(w*2^64/q): the
+        # butterflies use the 3-mul Shoup product (Montgomery data stays
+        # Montgomery since Shoup has no R^{-1})
         psi_rev = np.zeros(n, dtype=np.uint64)
         ipsi_rev = np.zeros(n, dtype=np.uint64)
+        psi_rev_sh = np.zeros(n, dtype=np.uint64)
+        ipsi_rev_sh = np.zeros(n, dtype=np.uint64)
         for i in range(n):
             e = hm.bit_reverse(i, logn)
-            psi_rev[i] = pow(psi, e, q) * R % q
-            ipsi_rev[i] = pow(ipsi, e, q) * R % q
+            wv = pow(psi, e, q)
+            iv = pow(ipsi, e, q)
+            psi_rev[i] = wv
+            ipsi_rev[i] = iv
+            psi_rev_sh[i] = (wv << 64) // q
+            ipsi_rev_sh[i] = (iv << 64) // q
         fidx = [(1 << s) + (j >> (logn - s)) for s in range(logn)]
         iidx = [(n >> (s + 1)) + (j >> (s + 1)) for s in range(logn)]
         for s in range(logn):
             fwd[li, s] = psi_rev[fidx[s]]
             inv[li, s] = ipsi_rev[iidx[s]]
+            fwd_sh[li, s] = psi_rev_sh[fidx[s]]
+            inv_sh[li, s] = ipsi_rev_sh[iidx[s]]
         qinv = q
         for _ in range(6):
             qinv = (qinv * (2 - q * qinv)) % (1 << 64)
@@ -168,6 +188,7 @@ def _stage_tables(moduli: tuple, n: int):
                 (a >> 32).astype(np.uint32))
 
     return (pairs(fwd.reshape(sh)), pairs(inv.reshape(sh)),
+            pairs(fwd_sh.reshape(sh)), pairs(inv_sh.reshape(sh)),
             consts)
 
 
@@ -218,7 +239,7 @@ def _build(kernel_name: str, n: int, bt: int, L: int, nb: int, flag: bool,
         grid=(L, nb),
         in_specs=[
             pl.BlockSpec((L, 8), lambda l, b: (0, 0), memory_space=smem),
-            x_spec, x_spec, tw_spec, tw_spec,
+            x_spec, x_spec, tw_spec, tw_spec, tw_spec, tw_spec,
         ],
         out_specs=[x_spec, x_spec],
         out_shape=[out, out],
@@ -238,12 +259,15 @@ def _run(kernel_name: str, pair, moduli: tuple, flag: bool, interpret: bool):
     B = 1
     for s in batch:
         B *= s
-    (fwd_lo, fwd_hi), (inv_lo, inv_hi), consts_np = _stage_tables(moduli, n)
+    ((fwd_lo, fwd_hi), (inv_lo, inv_hi), (fsh_lo, fsh_hi),
+     (ish_lo, ish_hi), consts_np) = _stage_tables(moduli, n)
     if kernel_name == "fwd":
         tw = (jnp.asarray(fwd_lo), jnp.asarray(fwd_hi))
+        twsh = (jnp.asarray(fsh_lo), jnp.asarray(fsh_hi))
         consts = _consts_u32(consts_np, post_mont=True)  # post unused by fwd
     else:
         tw = (jnp.asarray(inv_lo), jnp.asarray(inv_hi))
+        twsh = (jnp.asarray(ish_lo), jnp.asarray(ish_hi))
         # flag = from_mont: standard-form ninv fuses from-Montgomery out
         consts = _consts_u32(consts_np, post_mont=not flag)
     R = n // _LANES
@@ -251,7 +275,8 @@ def _run(kernel_name: str, pair, moduli: tuple, flag: bool, interpret: bool):
     call = _build(kernel_name, n, bt, L, B // bt, flag, interpret)
     lo4 = lo.reshape(B, L, R, _LANES)
     hi4 = hi.reshape(B, L, R, _LANES)
-    olo, ohi = call(jnp.asarray(consts), lo4, hi4, tw[0], tw[1])
+    olo, ohi = call(jnp.asarray(consts), lo4, hi4, tw[0], tw[1],
+                    twsh[0], twsh[1])
     return (olo.reshape(*batch, L, n), ohi.reshape(*batch, L, n))
 
 

@@ -272,6 +272,21 @@ def mont_mul(a, b, q, qinv_neg):
     return redc(mul64(a, b), q, qinv_neg)
 
 
+def shoup_mul64(x, w, wsh, q):
+    """x * w mod q by Shoup's trick on u64 pairs (3 wide multiplies where
+    mont_mul needs 4): t = mulhi64(x, wsh), r = x*w - t*q (both low-64),
+    one conditional subtract.  `w` is a STANDARD-form constant < q < 2^63
+    with precomputed companion wsh = floor(w * 2^64 / q); x < q arbitrary
+    domain (a Montgomery x yields a Montgomery result).  Mirrors the
+    narrow engine's shoup_mul32 (wordops32) for the pair path; the
+    reference's concrete-ntt uses the same form (src/ring/ntt.rs:42-67)."""
+    t = mul64(x, wsh)[2:]          # floor(x * wsh / 2^64)
+    xw = lowmul64(x, w)
+    tq = lowmul64(t, q)
+    r = sub64(xw, tq)              # in [0, 2q)
+    return select64(ge64(r, q), sub64(r, q), r)
+
+
 def mod_add64(a, b, q):
     """(a + b) mod q for a, b < q < 2^63."""
     s = add64(a, b)

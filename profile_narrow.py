@@ -217,6 +217,37 @@ def main():
           f"amortized; selects cost more than multiplies on this VPU — "
           f"see utils/roofline.py measured table)")
 
+    # per-phase floor table (round-2 verdict item 3's accounting ask): the
+    # calibrated native-op rate comes from the serial mont_mul microbench
+    # (tools/calibrate_vpu.py: 0.51 ns per element for MONT_MUL=18 native
+    # ops => ~35 Gnative-ops/s/lane-element amortized); each phase floor is
+    # its op-count model at that rate, its HBM floor, whichever is larger.
+    rate_native = rl.VPU_MONT_GMULS * 1e9 * rl.MONT_MUL  # native ops/s
+    print()
+    print("per-phase floors (max of measured-unit VPU and HBM bounds):")
+    print(f"  {'phase':<12} {'measured':>9}  {'floor':>8}  {'ratio':>6}")
+    mult = {"extend3": 4, "hps": 3, "limbconv": 1, "relin": 1}
+    total_floor = 0.0
+    total_meas = 0.0
+    for key in ("extend3", "limbconv", "hps", "relin"):
+        if key not in times:
+            continue
+        m = models[key]
+        vpu_floor = m["native_ops"] / rate_native
+        hbm_floor = m["io_bytes"] / (rl.V5E.hbm_gbps * 1e9)
+        floor = max(vpu_floor, hbm_floor)
+        ratio = times[key] / floor if floor else float("inf")
+        total_floor += mult[key] * floor
+        total_meas += mult[key] * times[key]
+        print(f"  {key:<12} {times[key]*1e3:8.2f}m  {floor*1e3:7.2f}m "
+              f"{ratio:6.2f}x")
+    full_ratio = times["full"] / total_floor if total_floor else 0
+    print(f"  {'full step':<12} {times['full']*1e3:8.2f}m  "
+          f"{total_floor*1e3:7.2f}m {full_ratio:6.2f}x  "
+          f"(phases summed x multiplicity; XLA cross-phase fusion makes "
+          f"the full step cheaper than the phase sum "
+          f"{total_meas*1e3:.2f}m)")
+
 
 if __name__ == "__main__":
     main()

@@ -98,6 +98,7 @@ def test_homomorphic_mul_hps_tiny():
         assert decode_scalar(decrypt(ct_prod, sk)) == (a * b) % 257, (a, b)
 
 
+@pytest.mark.slow
 def test_homomorphic_mul_compact():
     params = compact_bfv()
     sk, rlk = keys_for(params, want_rlk=True)
@@ -106,6 +107,7 @@ def test_homomorphic_mul_compact():
     assert decode_scalar(decrypt(bfv_mul_and_relin(ct1, ct2, rlk), sk)) == 21
 
 
+@pytest.mark.slow
 def test_homomorphic_mul_multi_prime_q():
     # multi-prime Q exercises the exact host fallback (reference eval.rs:903-927)
     params = (BfvParamsBuilder()

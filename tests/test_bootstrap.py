@@ -116,6 +116,7 @@ def test_eval_poly_homomorphic():
         assert got == (3 + 2 * x + x**3) % 97, x
 
 
+@pytest.mark.slow
 def test_coeffs_to_slots_roundtrip():
     params = (BfvParamsBuilder().ring_degree(16).plain_modulus(97)
               .ct_moduli([1125899906842817]).sigma(3.2).gadget_base(8).build())
@@ -138,6 +139,7 @@ def test_coeffs_to_slots_roundtrip():
     np.testing.assert_array_equal(dec2.coeffs, pt_coeffs)
 
 
+@pytest.mark.slow
 def test_bootstrap_trivial_fast_path():
     orig, boot, q_prime = bootstrap_test_params()
     sk = gen_secret_key(jax.random.PRNGKey(6), orig, hamming_weight=2)
@@ -152,6 +154,7 @@ def test_bootstrap_trivial_fast_path():
         assert got == m, m
 
 
+@pytest.mark.slow
 def test_bootstrap_ring_full():
     orig, boot, q_prime = bootstrap_test_params()
     sk = gen_secret_key(jax.random.PRNGKey(8), orig, hamming_weight=2)
@@ -165,6 +168,7 @@ def test_bootstrap_ring_full():
         assert got == m
 
 
+@pytest.mark.slow
 def test_dbfv_mul_then_bootstrap_allows_next_mul():
     dbfv_params, boot_bfv, q_prime = dbfv_bootstrap_test_params()
     k = jax.random.PRNGKey(777)

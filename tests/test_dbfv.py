@@ -90,6 +90,7 @@ def compact_setup():
     return params, sk, pk, rlk
 
 
+@pytest.mark.slow
 def test_dbfv_roundtrip_pk_sk(compact_setup):
     params, sk, pk, _ = compact_setup
     for v in [0, 255]:
@@ -110,6 +111,7 @@ def test_dbfv_add_sub_neg(compact_setup):
     assert dbfv_decrypt(dbfv_neg(ct2), sk) == 256 - 20
 
 
+@pytest.mark.slow
 def test_dbfv_mul_and_depth_guard(compact_setup):
     params, sk, pk, rlk = compact_setup
     # products crossing the base boundary (reference eval.rs:273-290)
@@ -165,6 +167,7 @@ def test_dbfv_change_base(compact_setup):
         assert dbfv_decrypt(ct4, sk) == v
 
 
+@pytest.mark.slow
 def test_dbfv_u64_semantics_mini():
     """u64 (p=2^64) encrypt/add/sub/mul roundtrips incl. u64::MAX
     (reference eval.rs:316-327) on the shrunken ring."""

@@ -123,6 +123,7 @@ def test_narrow_change_base(compact_narrow):
         assert int(np.asarray(got)[0]) == v
 
 
+@pytest.mark.slow
 def test_narrow_bootstrap_chain():
     """Narrow dBFV mul-then-bootstrap via the wide-host bridge."""
     from exacto_tpu import narrow_bridge as nb

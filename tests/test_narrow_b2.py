@@ -21,11 +21,11 @@ from exacto_tpu import narrow_boot as nb
 from exacto_tpu.errors import InvalidParam
 
 
-def _b2_params(n, width):
-    """p = 2^width as binary digits, t = 2^8 (same shape as u64_dbfv_b2)."""
+def _b2_params(n, width, t=256):
+    """p = 2^width as binary digits (same shape as u64_dbfv_b2/_chain)."""
     qs = nr.find_narrow_primes(n, 2, 30)
     ps = nr.find_narrow_primes(n, 3, 30, skip=qs)
-    bfv = nr.NarrowParams.create(n, 256, qs, ps, gadget_base=1 << 21)
+    bfv = nr.NarrowParams.create(n, t, qs, ps, gadget_base=1 << 21)
     p = 0 if width == 64 else (1 << width)
     return nr.NarrowDbfvParams(base=2, num_digits=width, plain_modulus=p,
                                bfv=bfv)
@@ -79,14 +79,49 @@ def test_boot_params_modswitch_margin_gate():
                             a_boot=13, allow_insecure=True)
 
 
+def test_digit_split_rounding_tables():
+    """in_u digit tables: P_i(u) == scaled digit_i(m(z)) for u = z - zmin
+    (host evaluation, all digits)."""
+    from exacto_tpu.ring import hostmath as hm
+
+    t_orig, qp, n, h = 256, 1 << 11, 64, 2
+    zmin = -(h * qp) // 2
+    zmax = qp - 1 + (h * qp) // 2
+    span = zmax - zmin + 3
+    t_boot = span * 8 + 1
+    while not hm.is_prime(t_boot):
+        t_boot += 1
+    delta_p = qp // t_orig
+    rng = np.random.default_rng(0)
+    zs = [zmin, zmax, 0] + [int(v) for v in rng.integers(zmin, zmax, 40)]
+    for digit in range(4):
+        coeffs = nb.rounding_poly_coeffs(t_boot, t_orig, qp, n, zmin, zmax,
+                                         split_base=4, digit=digit,
+                                         in_u=True)
+        p = t_boot
+        for z in zs:
+            u = z - zmin
+            acc, up = 0, 1
+            for a in coeffs:
+                acc = (acc + a * up) % p
+                up = up * u % p
+            m = ((z % qp) + delta_p // 2) // delta_p % t_orig
+            dig = (m >> (2 * digit)) & 3
+            want = (dig * t_boot + t_orig // 2) // t_orig % p
+            assert acc == want, (digit, z)
+
+
 @pytest.fixture(scope="module")
 def b2_chain_setup():
-    n, width = 64, 16
-    params = _b2_params(n, width)
-    bparams = nb.auto_boot_params(params, e_lo=12, hamming=4,
-                                  allow_insecure=True)
+    """Digit-split chain analog: p = 2^8, d = 8, t = 2^8, split_base 4
+    (fixpoint: V = 4 digits x 3 = 12, acc x fresh mul <= 8*12 = 96 <
+    t/2 = 128)."""
+    n, width = 64, 8
+    params = _b2_params(n, width, t=256)
+    bparams = nb.auto_boot_params(params, e_lo=11, hamming=2,
+                                  allow_insecure=True, split_base=4)
     sk = nr.gen_secret_key(jax.random.PRNGKey(1), params.bfv,
-                           hamming_weight=4)
+                           hamming_weight=2)
     rlk = nr.gen_relin_key(jax.random.PRNGKey(2), sk)
     bk, _ = nb.gen_boot_key(jax.random.PRNGKey(3), sk, bparams)
     return params, sk, rlk, bk
@@ -94,18 +129,20 @@ def b2_chain_setup():
 
 @pytest.mark.slow
 def test_b2_mul_chain_then_bootstrap(b2_chain_setup):
-    """Depth-3 chain a*b*c*e mod 2^16 via dbfv_mul_chain_then_bootstrap:
-    every intermediate is refreshed, the result is depth 0 and still
-    multipliable."""
+    """Depth-3 chain a*b*c*e mod 2^8 via dbfv_mul_chain_then_bootstrap
+    with the VALUE-REDUCING bootstrap: every intermediate is refreshed
+    and digit-split, the result is depth 0 with limb values <= 12, and
+    still multipliable."""
     params, sk, rlk, bk = b2_chain_setup
-    vals = np.array([[0xBEEF, 7, 3, 251], [0xFFFF, 0xFFFF, 2, 9]],
+    assert bk.params.n_split_digits == 4
+    vals = np.array([[0xBE, 7, 3, 251], [0xFF, 0xFF, 2, 9]],
                     dtype=np.uint64).T  # [4 operands, batch 2]
     cts = [nr.dbfv_encrypt_sk(jax.random.PRNGKey(10 + i), vals[i], sk,
                               params) for i in range(4)]
     out = nb.dbfv_mul_chain_then_bootstrap(cts, rlk, bk, chunk=8)
     assert out.mul_depth == 0
     got = np.asarray(nr.dbfv_decrypt(out, sk), dtype=np.uint64)
-    want = (vals[0] * vals[1] * vals[2] * vals[3]) % (1 << 16)
+    want = (vals[0] * vals[1] * vals[2] * vals[3]) % (1 << 8)
     assert np.array_equal(got, want), (got, want)
     # still chainable: one more multiply decrypts
     ct5 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(99),
@@ -113,4 +150,4 @@ def test_b2_mul_chain_then_bootstrap(b2_chain_setup):
     out2 = nr.dbfv_mul(out, ct5, rlk)
     got2 = np.asarray(nr.dbfv_decrypt(out2, sk), dtype=np.uint64)
     assert np.array_equal(got2, want * np.array([3, 5], dtype=np.uint64)
-                          % (1 << 16))
+                          % (1 << 8))

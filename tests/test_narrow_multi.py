@@ -97,6 +97,7 @@ def test_encrypt_decrypt_roundtrip_L3(params3, keys3):
     np.testing.assert_array_equal(np.asarray(got)[:, 0], vals)
 
 
+@pytest.mark.slow
 def test_bfv_mul32_L3(params3, keys3):
     """Single-ct multiply with 3-prime Q: general HPS scale + RNS-digit
     relinearization, checked against scalar arithmetic mod t."""
@@ -138,6 +139,7 @@ def test_ct_linear_ops_L3(params3, keys3):
         np.asarray(nr.decrypt(nr.ct_add(ct_b, triv), sk))[:, 0], (a + b) % t)
 
 
+@pytest.mark.slow
 def test_automorphism_L3(params3, keys3):
     """Galois automorphism + RNS-digit keyswitch at L=3: sigma_k on a
     polynomial plaintext matches the host model."""
@@ -164,6 +166,7 @@ def test_automorphism_L3(params3, keys3):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_dbfv_d4_large_t_roundtrip():
     """d=4 / b=2^16 u64 profile at test scale: t = 2^35-1 exceeds one aux
     prime, so the HPS round term lifts through a 2-prime CRT pair

@@ -6,6 +6,7 @@ permutation).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -60,6 +61,7 @@ def test_host_ntt_roundtrip_and_conv(rng):
     assert ntt.intt_host(prod_ntt, q) == hpoly.negacyclic_mul_host(a, b, q)
 
 
+@pytest.mark.slow
 def test_device_ntt_matches_host(rng):
     for n in (4, 16, 64, 256):
         moduli = [m for m in MODULI if (m - 1) % (2 * n) == 0]

@@ -66,6 +66,7 @@ def test_sharded_bfv_add_matches_local():
     np.testing.assert_array_equal(dec.coeffs[:, 0], (vals * 2) % 257)
 
 
+@pytest.mark.slow
 def test_sharded_dbfv_mul_matches_local():
     params = tiny_dbfv()
     k = jax.random.PRNGKey(5)
@@ -108,6 +109,7 @@ def test_sharded_dbfv_add_8way():
     np.testing.assert_array_equal(np.asarray(got, dtype=np.uint64), (a + b) % 256)
 
 
+@pytest.mark.slow
 def test_sharded_narrow_dbfv_mul():
     from exacto_tpu import narrow as nr
 
@@ -242,3 +244,35 @@ def test_shardmap_conv_matches_auto_and_times(capsys):
         print(f"\n[shardmap_conv] n={n} d={d} 8-dev CPU mesh: "
               f"auto {t_auto*1e3:.1f} ms, shard_map {t_exp*1e3:.1f} ms, "
               f"ratio {t_exp/t_auto:.2f}x")
+
+
+@pytest.mark.slow
+def test_sharded_ntt_matches_local():
+    """Ring-sharded NTT (ppermute butterfly exchanges) is bit-exact vs the
+    single-program narrow NTT, fwd and inv, on the 8-device CPU mesh."""
+    import jax.numpy as jnp
+
+    from exacto_tpu import narrow as nr
+    from exacto_tpu.parallel import make_mesh
+    from exacto_tpu.parallel import sharded_ntt as sn
+    from exacto_tpu.ring import wordops32 as w32
+
+    n, L = 4096, 2
+    moduli = nr.find_narrow_primes(n, L, 30)
+    basis = nr.NarrowBasis.create(moduli, n)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, m, size=(3, n)).astype(np.uint32) for m in moduli],
+        axis=-2))
+    mesh = make_mesh({"ring": 8})
+    xs = jax.device_put(x, sn.ring_sharding(mesh, x.ndim))
+
+    ref_f = w32.ntt_fwd32(x, basis.psi_rev, basis.q, basis.qinv)
+    got_f = sn.ntt_fwd32_sharded(xs, moduli, mesh)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(ref_f))
+
+    ref_i = w32.ntt_inv32(ref_f, basis.ipsi_rev, basis.ninv, basis.q,
+                          basis.qinv)
+    got_i = sn.ntt_inv32_sharded(got_f, moduli, mesh)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(x))

@@ -248,6 +248,7 @@ def test_relin_key_invariant():
         assert max(abs(c) for c in centered) <= 20  # 6 sigma
 
 
+@pytest.mark.slow
 def test_dbfv_roundtrip_chacha():
     """Mirrors reference dbfv/encrypt.rs:243-267 seeded roundtrips."""
     from exacto_tpu.dbfv import dbfv_decrypt

@@ -50,6 +50,7 @@ def regenerated():
 @pytest.mark.slow
 @pytest.mark.parametrize("preset", ["compact_bfv", "small_bfv",
                                     "compact_dbfv", "u64_dbfv"])
+@pytest.mark.slow
 def test_pipeline_reproduces_fixtures(fixtures, regenerated, preset):
     rec = regenerated[preset]
     for key, arr in rec.items():

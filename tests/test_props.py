@@ -47,6 +47,7 @@ def dbfv_setup():
     return params, sk, rlk
 
 
+@pytest.mark.slow
 def test_prop_bfv_scalar_roundtrip_add_mul(bfv_setup):
     params, sk, rlk = bfv_setup
     rng = np.random.default_rng(7)
@@ -87,6 +88,7 @@ def test_prop_bfv_sparse_poly_mul_vs_model(bfv_setup):
         np.testing.assert_array_equal(got_add, (pa + pb) % 257)
 
 
+@pytest.mark.slow
 def test_prop_dbfv_full_range_z256(dbfv_setup):
     params, sk, rlk = dbfv_setup
     rng = np.random.default_rng(9)
