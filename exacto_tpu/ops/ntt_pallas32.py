@@ -375,8 +375,25 @@ def _consts_with_scalars(consts: np.ndarray, pre_sel: str, post_sel: str):
     return out
 
 
+def _bt_override(B: int) -> int | None:
+    """EXACTO_TPU_BT=k forces the batch-tile size (perf sweeps); clamped to
+    a divisor of B."""
+    import os
+
+    v = os.environ.get("EXACTO_TPU_BT")
+    if not v:
+        return None
+    bt = min(B, max(1, int(v)))
+    while B % bt:
+        bt -= 1
+    return bt
+
+
 def _pick_bt(B: int, n: int) -> int:
     """Largest divisor of B with tile + temps comfortably inside VMEM."""
+    ov = _bt_override(B)
+    if ov is not None:
+        return ov
     cap = max(1, (4 << 20) // (n * 4 * 8))  # ~8 live tiles within 4MB
     bt = min(B, cap)
     while B % bt:
@@ -797,6 +814,9 @@ def _build_hps(n: int, bt: int, A: int, nb: int, glob_items: tuple,
 
 def _pick_bt_hps(B: int, n: int) -> int:
     """Divisor of B sized for the HPS kernel's ~24 live [bt, n] tiles."""
+    ov = _bt_override(B)
+    if ov is not None:
+        return ov
     cap = max(1, (6 << 20) // (n * 4 * 24))
     bt = min(B, cap)
     while B % bt:
