@@ -54,6 +54,11 @@ def main():
                     help="multiply-chain depth for the chain demo")
     ap.add_argument("--no-report", action="store_true")
     ap.add_argument("--skip-chain", action="store_true")
+    ap.add_argument("--allow-insecure", action="store_true",
+                    help="accept boot parameter sets below 128-bit security "
+                         "(required for the n=4096 u64 demo profiles; the "
+                         "gate in narrow_boot.make_boot_params refuses them "
+                         "otherwise)")
     args = ap.parse_args()
 
     import jax
@@ -104,7 +109,7 @@ def main():
         d = 8
 
     bparams = nb.auto_boot_params(orig, e_lo=e_lo, hamming=hamming,
-                                  allow_insecure=True,
+                                  allow_insecure=args.allow_insecure,
                                   split_base=split_base)
     zmin, zmax = bparams.z_bounds
     degree = zmax - zmin

@@ -375,15 +375,26 @@ def _consts_with_scalars(consts: np.ndarray, pre_sel: str, post_sel: str):
     return out
 
 
-def _bt_override(B: int) -> int | None:
+def _bt_override(B: int, vmem_cap: int) -> int | None:
     """EXACTO_TPU_BT=k forces the batch-tile size (perf sweeps); clamped to
-    a divisor of B."""
+    a divisor of B and to the kernel's VMEM-derived cap so a leftover env
+    var can't push tiles past VMEM or crash on a non-numeric value."""
     import os
+    import warnings
 
     v = os.environ.get("EXACTO_TPU_BT")
     if not v:
         return None
-    bt = min(B, max(1, int(v)))
+    try:
+        req = int(v)
+    except ValueError:
+        warnings.warn("EXACTO_TPU_BT=%r is not an integer; ignoring" % v)
+        return None
+    bt = min(B, max(1, req))
+    if bt > vmem_cap:
+        warnings.warn("EXACTO_TPU_BT=%d exceeds the VMEM-derived tile cap "
+                      "%d; clamping" % (req, vmem_cap))
+        bt = vmem_cap
     while B % bt:
         bt -= 1
     return bt
@@ -391,10 +402,10 @@ def _bt_override(B: int) -> int | None:
 
 def _pick_bt(B: int, n: int) -> int:
     """Largest divisor of B with tile + temps comfortably inside VMEM."""
-    ov = _bt_override(B)
+    cap = max(1, (4 << 20) // (n * 4 * 8))  # ~8 live tiles within 4MB
+    ov = _bt_override(B, cap)
     if ov is not None:
         return ov
-    cap = max(1, (4 << 20) // (n * 4 * 8))  # ~8 live tiles within 4MB
     bt = min(B, cap)
     while B % bt:
         bt -= 1
@@ -814,10 +825,10 @@ def _build_hps(n: int, bt: int, A: int, nb: int, glob_items: tuple,
 
 def _pick_bt_hps(B: int, n: int) -> int:
     """Divisor of B sized for the HPS kernel's ~24 live [bt, n] tiles."""
-    ov = _bt_override(B)
+    cap = max(1, (6 << 20) // (n * 4 * 24))
+    ov = _bt_override(B, cap)
     if ov is not None:
         return ov
-    cap = max(1, (6 << 20) // (n * 4 * 24))
     bt = min(B, cap)
     while B % bt:
         bt -= 1

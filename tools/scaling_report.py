@@ -26,7 +26,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
     os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+else:
+    # an inherited count < 8 would break the 8-device row with a confusing
+    # mesh error deep in make_mesh; rewrite it to 8 up front (ADVICE r3)
+    import re
+
+    def _bump(m):
+        return (m.group(0) if int(m.group(1)) >= 8
+                else m.group(0).split("=")[0] + "=8")
+
+    os.environ["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=(\d+)", _bump,
+        os.environ["XLA_FLAGS"])
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+_COLLECTIVES = ("all-reduce", "all-gather", "collective-permute",
+                "reduce-scatter", "all-to-all")
+
+
+def hlo_collectives(lowered_compiled) -> list:
+    """Names of cross-device collective ops present in a compiled HLO."""
+    txt = lowered_compiled.as_text()
+    return [c for c in _COLLECTIVES if c in txt]
 
 
 def main():
@@ -55,6 +76,7 @@ def main():
 
     rows = []
     t1 = None
+    coll_check = "NOT RUN"
     for ndev in (1, 2, 4, 8):
         B = args.per_dev_batch * ndev
         mesh = make_mesh({"batch": ndev})
@@ -66,6 +88,15 @@ def main():
             nr.dbfv_encrypt_sk(jax.random.PRNGKey(4), b, sk, params), mesh)
         rlk_r = replicate(rlk, mesh)
         mul = jax.jit(lambda x, y, r: nr.dbfv_mul(x, y, r))
+        if ndev == 8:
+            # verify (not just assert) the zero-collective claim on the
+            # compiled HLO of the widest mesh (ADVICE r3 medium)
+            colls = hlo_collectives(
+                mul.lower(ct1, ct2, rlk_r).compile())
+            coll_check = "PASS (none found)" if not colls else \
+                "FAIL: " + ", ".join(colls)
+            print(json.dumps({"hlo_collective_check": coll_check}),
+                  flush=True)
         out = mul(ct1, ct2, rlk_r)
         jax.block_until_ready(out.limbs.c0)
         t0 = time.perf_counter()
@@ -98,10 +129,14 @@ def main():
         "uses every core, so efficiency well below 1.0 here reflects host",
         "oversubscription, not algorithmic serialization.  The load-bearing",
         "fact is structural: the batch-sharded multiply compiles with ZERO",
-        "cross-device collectives (checked on the compiled HLO: no",
-        "all-reduce / all-gather / collective-permute / reduce-scatter), so",
-        "on a real TPU pod slice each chip runs the whole step on its batch",
-        "shard independently — weak scaling on hardware is bounded by",
+        "cross-device collectives — checked at generation time by scanning",
+        "the 8-device compiled HLO for all-reduce / all-gather /",
+        "collective-permute / reduce-scatter / all-to-all:",
+        "",
+        "    HLO collective check: %s" % coll_check,
+        "",
+        "so on a real TPU pod slice each chip runs the whole step on its",
+        "batch shard independently — weak scaling on hardware is bounded by",
         "per-chip throughput (bench.py), not by ICI.",
         "",
         "| devices | batch | step ms | ops/s | weak-scaling eff | parity |",

@@ -69,8 +69,8 @@ def main():
             if ref is None:
                 ref = t_full
             print(f"bt={bt:3d}  extend3 {t_ext*1e3:7.2f} ms  "
-                  f"full {t_full*1e3:7.2f} ms  ({B/t_full:6.0f} ops/s)  "
-                  f"parity={ok}")
+                  f"full {t_full*1e3:7.2f} ms  ({B/t_full:6.0f} ops/s, "
+                  f"{t_full/ref:5.2f}x vs first)  parity={ok}")
         except Exception as exc:  # noqa: BLE001
             print(f"bt={bt:3d}  FAILED: {str(exc)[:100]}")
     os.environ.pop("EXACTO_TPU_BT", None)
