@@ -1798,7 +1798,8 @@ def _fold_eval(basis, x, reps, d):
 
 
 def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
-                   rlk: NarrowRelinKey) -> NarrowDbfvCiphertext:
+                   rlk: NarrowRelinKey, mesh=None,
+                   limb_axis: str = "limb") -> NarrowDbfvCiphertext:
     params = ct1.params
     bp = params.bfv
     d = params.num_digits
@@ -1878,7 +1879,25 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
     from .ops import limbconv_pallas as lcp
 
     all_zero_reps = all(all(int(c) == 0 for c in rep) for rep in reps)
-    if d >= 32 and (d & (d - 1)) == 0:
+    use_shardmap = (
+        mesh is not None and limb_axis in getattr(mesh, "axis_names", ())
+        and mesh.shape[limb_axis] > 1 and all_zero_reps
+        and d % mesh.shape[limb_axis] == 0)
+    if use_shardmap:
+        # EXPLICIT-collective digit convolution: the limb axis is sharded on
+        # mesh[limb_axis], each device all_gathers the counterparty limbs
+        # over ICI and computes only its own anti-diagonal output limbs —
+        # the shard_map replacement for the reference's rayon d^2 fan-out
+        # (/root/reference/src/dbfv/eval.rs:104-136).  Local math is the jnp
+        # Montgomery path (per-shard tensors are too small for the fused
+        # kernels' batch tiles to pay off).
+        from .parallel.shardmap_conv import tensor3_conv_shardmap
+
+        tq = tensor3_conv_shardmap(c10, c11, c20, c21, ctb.moduli, mesh,
+                                   limb_axis)
+        tp = tensor3_conv_shardmap(e10, e11, e20, e21, auxb.moduli, mesh,
+                                   limb_axis)
+    elif d >= 32 and (d & (d - 1)) == 0:
         # large digit counts (the d=64 binary u64 profile): second-level
         # NTT over the digit axis — the unrolled Karatsuba tree would be
         # 3^log2(d) products with pathological XLA compile times
@@ -1920,12 +1939,20 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
                                 params=params)
 
 
-_dbfv_mul_jit32 = jax.jit(_dbfv_mul_impl)
+_dbfv_mul_jit32 = jax.jit(_dbfv_mul_impl,
+                          static_argnames=("mesh", "limb_axis"))
 
 
 def dbfv_mul(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
-             rlk: NarrowRelinKey) -> NarrowDbfvCiphertext:
-    """Narrow-engine dBFV multiply (deferred-sum, all-narrow hot path)."""
+             rlk: NarrowRelinKey, mesh=None,
+             limb_axis: str = "limb") -> NarrowDbfvCiphertext:
+    """Narrow-engine dBFV multiply (deferred-sum, all-narrow hot path).
+
+    With `mesh` carrying a >1-sized `limb_axis` (and a p = b^d profile so
+    degree reduction is pure truncation), the digit convolution runs as the
+    explicit shard_map + all_gather program of
+    parallel.shardmap_conv.tensor3_conv_shardmap; inputs should then be
+    limb-sharded (parallel.shard_batch_limb)."""
     if max(ct1.mul_depth, ct2.mul_depth) + 1 > 1:
         from .errors import NotImplementedYet
 
@@ -1946,4 +1973,4 @@ def dbfv_mul(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
                                         * bp.ring_degree * bp.big_q // 2):
         raise InvalidParam("aux basis too small for deferred-sum scaling")
     fn = _dbfv_mul_jit32 if _config.jit_enabled() else _dbfv_mul_impl
-    return fn(ct1, ct2, rlk)
+    return fn(ct1, ct2, rlk, mesh=mesh, limb_axis=limb_axis)
