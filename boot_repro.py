@@ -189,15 +189,27 @@ def main():
         jax.block_until_ready(fresh2.limbs.c0)
         warm = time.time() - tb
 
-        prod2 = nr.dbfv_mul(fresh, ct_c, rlk)
-        got3 = np.asarray(nr.dbfv_decrypt(prod2, sk), dtype=np.uint64)
-        ok3 = bool(np.array_equal(got3, wrap(a * b * c)))
+        if args.profile == "u64":
+            # the u64 profile is a value-PRESERVING noise refresh: post-
+            # product digit values (up to ~d) survive the bootstrap, so a
+            # follow-on MULTIPLY would overflow t with digit products up to
+            # ~d^2·d — that is exactly what the value-reducing u64chain
+            # profile exists for.  The supported follow-on op here is
+            # addition (digit values add: 2d << t); check that.
+            post = nr.dbfv_add(fresh, ct_c)
+            got3 = np.asarray(nr.dbfv_decrypt(post, sk), dtype=np.uint64)
+            ok3 = bool(np.array_equal(got3, wrap(a * b + c)))
+        else:
+            prod2 = nr.dbfv_mul(fresh, ct_c, rlk)
+            got3 = np.asarray(nr.dbfv_decrypt(prod2, sk), dtype=np.uint64)
+            ok3 = bool(np.array_equal(got3, wrap(a * b * c)))
         ok_all = ok_all and ok1 and ok2 and ok3
         row = {"batch": B, "bootstrap_warm_s": round(warm, 2),
                "amortized_s_per_value": round(warm / B, 3),
                "amortized_ms_per_limb": round(warm / (B * d) * 1e3, 1),
                "hbm_peak_gb": hbm_peak_gb(), **ws,
-               "mul1_ok": ok1, "post_boot_ok": ok2, "chain_ok": ok3}
+               "mul1_ok": ok1, "post_boot_ok": ok2, "followon_op_ok": ok3,
+               "followon_op": "add" if args.profile == "u64" else "mul"}
         sweep.append(row)
         print(json.dumps(row), flush=True)
 

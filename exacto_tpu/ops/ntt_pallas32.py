@@ -131,27 +131,28 @@ def _fwd_stages(x, tw_ref, twsh_ref, q, *, n, bt, tw_l=0, lazy=False):
         # differing bit is shifted out of the table index), so the product
         # can be taken BEFORE the partner exchange: P[j] = w*x[j] on every
         # lane, then the low lane reads its partner's product via the same
-        # roll the value exchange used.  3 selects/stage instead of 5 —
-        # measured VPU unit costs (utils/roofline.py) put one
-        # compare-select above one full multiply, so selects, not
-        # products, are the butterfly's cost center.
+        # roll the value exchange used.  ONE select/stage (both branch sums
+        # computed, selected once) + one umin reduction — measured VPU unit
+        # costs (utils/roofline.py) put one compare-select above one full
+        # multiply, so selects, not products, are the butterfly's cost
+        # center.
         #   low  j: x[j] + w*x[j^t]        = x + roll_f(P)
         #   high j: x[j^t] + 2q - w*x[j]   = roll_b(x) + (2q - P)
         P = _lazy_shoup(x, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)  # [0,2q)
         if t < _LANES:
             col = jax.lax.broadcasted_iota(jnp.uint32, (1, R, _LANES), 2)
             mask = (col & jnp.uint32(t)) == 0
-            own = jnp.where(mask, x, _roll(x, t, 2))
-            other = jnp.where(mask, _roll(P, -t % _LANES, 2), q2 - P)
+            s_low = x + _roll(P, -t % _LANES, 2)
+            s_high = _roll(x, t, 2) + (q2 - P)
         else:
             rt = t // _LANES
             row = jax.lax.broadcasted_iota(jnp.uint32, (1, R, _LANES), 1)
             mask = (row & jnp.uint32(rt)) == 0
-            own = jnp.where(mask, x, _roll(x, rt, 1))
-            other = jnp.where(mask, _roll(P, -rt % R, 1), q2 - P)
-        s_ = own + other                # < 4q < 2^32
-        x = jnp.where(s_ >= q2, s_ - q2, s_)
-    return jnp.where(x >= q, x - q, x)
+            s_low = x + _roll(P, -rt % R, 1)
+            s_high = _roll(x, rt, 1) + (q2 - P)
+        s_ = jnp.where(mask, s_low, s_high)  # < 4q < 2^32
+        x = w32.cond_sub32(s_, q2)
+    return w32.cond_sub32(x, q)
 
 
 def _extend_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt,
@@ -294,7 +295,7 @@ def _inv_stages(x, tw_ref, twsh_ref, q, post_w, post_sh, *, n, bt, tw_l=0,
             mask = (row & jnp.uint32(rt)) == 0
             s_ = x + _roll(x, -rt % R, 1)
             dv = _roll(x, rt, 1) + q2 - x
-        tot = jnp.where(s_ >= q2, s_ - q2, s_)
+        tot = w32.cond_sub32(s_, q2)
         diff = _lazy_shoup(dv, tw_ref[tw_l, s], twsh_ref[tw_l, s], q)
         x = jnp.where(mask, tot, diff)
     return w32.shoup_mul32(x, post_w, post_sh, q)  # exact: [0, q) out

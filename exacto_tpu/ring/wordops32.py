@@ -32,6 +32,22 @@ def check_narrow(moduli) -> bool:
     return all(1 < m < (1 << 31) and m % 2 == 1 for m in moduli)
 
 
+def cond_sub32(v, q):
+    """v - q if v >= q else v, for v < q + 2^31 — select-free.
+
+    d = v - q wraps to the top half of u32 exactly when v < q (q < 2^31),
+    so the SIGN BIT of d is the condition: arithmetic-shift it across the
+    word and mask q back in.  sub+shift+and+add are all single-slot VPU
+    ops, whereas the compare+select this replaces prices above a full
+    multiply on this VPU (utils/roofline.py measured table; Mosaic has no
+    vector minui, which would have been 1 op).
+    """
+    q = _u32(q)
+    d = v - q
+    mask = jnp.right_shift(d.astype(jnp.int32), 31).astype(U32)
+    return d + (q & mask)
+
+
 def mont_consts32(q: int) -> dict:
     """Host precompute: -q^{-1} mod 2^32, R mod q, R^2 mod q (R = 2^32)."""
     if q % 2 == 0 or q >= 1 << 31:
@@ -80,7 +96,7 @@ def mont_mul32(a, b, q, qinv_neg):
     t_lo, t_hi = mul32_full(a, b)
     m = t_lo * qinv_neg  # mod 2^32
     u = t_hi + mulhi32(m, q) + (t_lo != 0).astype(U32)  # < 2q < 2^32
-    return jnp.where(u >= q, u - q, u)
+    return cond_sub32(u, q)
 
 
 def shoup_mul32(v, w, w_shoup, q):
@@ -94,7 +110,7 @@ def shoup_mul32(v, w, w_shoup, q):
     q = _u32(q)
     hi = mulhi32(v, w_shoup)
     r = v * w - hi * q  # exact mod 2^32; true value < 2q
-    return jnp.where(r >= q, r - q, r)
+    return cond_sub32(r, q)
 
 
 def shoup_const32(w: int, q: int) -> int:
@@ -105,17 +121,23 @@ def shoup_const32(w: int, q: int) -> int:
 def mod_add32(a, b, q):
     q = _u32(q)
     s = a + b  # < 2q < 2^32
-    return jnp.where(s >= q, s - q, s)
+    return cond_sub32(s, q)
 
 
 def mod_sub32(a, b, q):
     q = _u32(q)
-    return jnp.where(a >= b, a - b, q - b + a)
+    # a - b wraps to the top half of u32 exactly when a < b (a, b < q <
+    # 2^31): sign-mask q back in, select-free (see cond_sub32)
+    d = a - b
+    mask = jnp.right_shift(d.astype(jnp.int32), 31).astype(U32)
+    return d + (q & mask)
 
 
 def mod_neg32(a, q):
     q = _u32(q)
-    return jnp.where(a == 0, a, q - a)
+    # q - a is in (0, q] for a in [0, q); cond_sub folds the a == 0 case
+    # (q - 0 = q -> 0) without the compare+select
+    return cond_sub32(q - a, q)
 
 
 def to_mont32(a, q, qinv_neg, r2):
@@ -127,7 +149,7 @@ def from_mont32(a, q, qinv_neg):
     q, qinv_neg = _u32(q), _u32(qinv_neg)
     m = a * qinv_neg
     u = mulhi32(m, q) + (a != 0).astype(U32)
-    return jnp.where(u >= q, u - q, u)
+    return cond_sub32(u, q)
 
 
 def reduce_u64_pair32(lo, hi, q, qinv_neg, r1, r2):
@@ -146,7 +168,7 @@ def reduce_u64_shoup32(lo, hi, q, r1, r1_shoup, one_shoup):
     q = _u32(q)
     h = shoup_mul32(hi, _u32(r1), _u32(r1_shoup), q)
     t = lo - mulhi32(lo, _u32(one_shoup)) * q  # lo mod q, in [0, 2q)
-    t = jnp.where(t >= q, t - q, t)
+    t = cond_sub32(t, q)
     return mod_add32(h, t, q)
 
 
@@ -154,7 +176,7 @@ def shoup_reduce32(v, q, one_shoup):
     """v mod q for v < 2^32 via the w=1 Shoup form (1 mulhi + 1 low mul)."""
     q = _u32(q)
     t = v - mulhi32(v, _u32(one_shoup)) * q
-    return jnp.where(t >= q, t - q, t)
+    return cond_sub32(t, q)
 
 
 # ---------------------------------------------------------------------------

@@ -2,10 +2,12 @@
 
 Closes the last mechanical step of SURVEY item 41 (bit-exact parity vs the
 reference RNG).  The Rust side cannot run in this environment (no
-rustc/cargo); when it CAN run somewhere, produce a dump with this recipe
-and diff it here:
+rustc/cargo); when it CAN run somewhere, the dump generator is ALREADY
+WRITTEN: copy `tools/dump_parity.rs` into the reference crate as
+`examples/dump_parity.rs`, `cargo run --release --example dump_parity --
+<dir>`, then diff here with `--rust-dump <dir>`.
 
-Rust dump recipe (one short `examples/dump_parity.rs` in the reference):
+Dump recipe the generator implements:
   1. `let mut rng = ChaCha20Rng::seed_from_u64(42);`  (rand_chacha 0.9)
   2. per preset (compact_bfv, small_bfv, compact_dbfv, u64_dbfv), drawing
      from that ONE stream in this exact order:
