@@ -229,6 +229,53 @@ def main_narrow(quick, batch, iters):
         except Exception as exc:  # noqa: BLE001 - report, don't fail bench
             extra["sweep_error"] = str(exc)[:120]
 
+    if not quick and os.environ.get("BENCH_B2", "1") not in ("0", "false"):
+        # depth-capable profile (VERDICT r3 item 4): mul throughput of the
+        # BOOTSTRAPPABLE b=2/d=64 u64 profile, so the throughput/depth
+        # trade-off is a measured table, not a docstring.  Refresh cost
+        # lives in reports/bootstrap_n4096_*.md (a warm refresh is minutes,
+        # not bench material); BENCH_B2_REFRESH=1 opts into measuring one
+        # warm batch-2 refresh here too.
+        try:
+            b2_batch = int(os.environ.get("BENCH_B2_BATCH", "32"))
+            p2 = nr.u64_dbfv_b2(n)
+            sk2 = jax.jit(lambda k: nr.gen_secret_key(k, p2.bfv))(
+                jax.random.PRNGKey(11))
+            rlk2 = jax.jit(lambda k: nr.gen_relin_key(k, sk2))(
+                jax.random.PRNGKey(12))
+            a3 = rng.integers(0, 1 << 64, size=b2_batch, dtype=np.uint64)
+            b3 = rng.integers(0, 1 << 64, size=b2_batch, dtype=np.uint64)
+            c31 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(13), a3, sk2, p2)
+            c32 = nr.dbfv_encrypt_sk(jax.random.PRNGKey(14), b3, sk2, p2)
+            o3, z3 = mul(c31, c32, rlk2, jnp.uint32(0))
+            jax.block_until_ready(o3)
+            t0 = time.time()
+            for _ in range(iters):
+                o3, z3 = mul(c31, c32, rlk2, z3)
+            jax.block_until_ready(z3)
+            dt3 = (time.time() - t0) / iters
+            got3 = np.asarray(nr.dbfv_decrypt(o3, sk2), dtype=np.uint64)
+            extra["b2_mul_ops_s"] = round(b2_batch / dt3, 2)
+            extra["b2_mul_step_ms"] = round(dt3 * 1e3, 2)
+            extra["b2_mul_batch"] = b2_batch
+            extra["b2_parity"] = bool(np.array_equal(got3, a3 * b3))
+            if os.environ.get("BENCH_B2_REFRESH", "0") not in ("0", "false"):
+                from exacto_tpu import narrow_boot as nb
+
+                bp2 = nb.auto_boot_params(p2, e_lo=13, hamming=8,
+                                          allow_insecure=True)
+                bk2, _ = nb.gen_boot_key(jax.random.PRNGKey(15), sk2, bp2)
+                prod = nr.dbfv_mul(c31, c32, rlk2)
+                fresh = nb.dbfv_bootstrap(prod, bk2)
+                jax.block_until_ready(fresh.limbs.c0)
+                t0 = time.time()
+                fresh = nb.dbfv_bootstrap(prod, bk2)
+                jax.block_until_ready(fresh.limbs.c0)
+                extra["b2_refresh_s_per_value"] = round(
+                    (time.time() - t0) / b2_batch, 2)
+        except Exception as exc:  # noqa: BLE001 - report, don't fail bench
+            extra["b2_error"] = str(exc)[:120]
+
     if os.environ.get("BENCH_SELFTEST", "1") not in ("0", "false"):
         # compiled kernel-vs-jnp bit-exact checks for every fused kernel on
         # the live backend (round-2 weak #3: interpret mode clamps OOB

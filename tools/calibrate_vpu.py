@@ -70,6 +70,29 @@ def _addsel_kernel(x_ref, o_ref, *, q):
     o_ref[...] = v
 
 
+def _condsub_kernel(x_ref, o_ref, *, q):
+    # serial add + SIGN-MASK conditional subtract (wordops32.cond_sub32) —
+    # the select-free pattern that replaced compare-select in round 4
+    v = x_ref[...]
+    qv = jnp.uint32(q)
+    for _ in range(K):
+        v = w32.cond_sub32(v + v, qv)
+    o_ref[...] = v
+
+
+def _rowroll_kernel(x_ref, o_ref, *, q):
+    # serial SUBLANE-axis roll+add chain: the cost the large-stride NTT
+    # butterfly stages pay (vs the lane-axis rolls of _roll_kernel)
+    from jax.experimental.pallas import tpu as pltpu
+
+    v = x_ref[...]
+    qv = jnp.uint32(q)
+    for i in range(K):
+        r = pltpu.roll(v, 1 + (i & 7), 0)
+        v = w32.mod_add32(v, r, qv)
+    o_ref[...] = v
+
+
 def main():
     q = 1073479681  # 30-bit NTT prime
     w = 123456789 % q
@@ -122,9 +145,14 @@ def main():
         return d
 
     d_roll = run(_roll_kernel, "chain of %d lane-roll+add   " % K)
+    d_rroll = run(_rowroll_kernel, "chain of %d ROW-roll+add    " % K)
     d_sel = run(_addsel_kernel, "chain of %d add+cmp-select " % K)
-    print("cost ratio roll/mont_mul: %.2f" % (d_roll / dt))
-    print("cost ratio sel/mont_mul : %.2f" % (d_sel / dt))
+    d_csub = run(_condsub_kernel, "chain of %d add+cond_sub32 " % K)
+    print("cost ratio lane-roll/mont_mul: %.2f" % (d_roll / dt))
+    print("cost ratio row-roll/mont_mul : %.2f" % (d_rroll / dt))
+    print("cost ratio cmp-sel/mont_mul  : %.2f" % (d_sel / dt))
+    print("cost ratio cond_sub/mont_mul : %.2f" % (d_csub / dt))
+    print("cond_sub32 speedup vs cmp-select: %.2fx" % (d_sel / d_csub))
 
 
 if __name__ == "__main__":
