@@ -605,31 +605,43 @@ def _eval_poly_ps_impl(ct: nr.NarrowCiphertext, polys: tuple,
     for j in range(2, k + 1):
         power(j)
 
-    # all giant blocks of all nu polys, sum_i coeffs[b*k+i] x^i, in ONE
-    # device pass over the stacked baby powers (x^0 = the trivial Delta
-    # constant).  Buffers are released stage-by-stage: at the production
-    # shape each stacked copy is GBs of HBM (see _auto_chunk).
+    # all giant blocks of all nu polys, sum_i coeffs[b*k+i] x^i, over the
+    # stacked baby powers (x^0 = the trivial Delta constant).  Buffers are
+    # released stage-by-stage: at the production shape each stacked copy
+    # is GBs of HBM (see _auto_chunk).
+    #
+    # The g giant blocks are processed in SEGMENTS of G0 = 2^ceil(log2
+    # sqrt(g)): each segment's blocks are materialized, tree-combined into
+    # ONE ciphertext (local y-powers), and freed; the segment results then
+    # tree-combine with y^(G0*half) multipliers.  Same multiply count
+    # (g - 1 + the shared y-squaring chain) and the same log2(g) noise
+    # depth as the flat balanced tree, but the live block set drops from
+    # 2*nu*g ciphertext planes to 2*nu*(G0 + g/G0) — the P-S working set
+    # is what bounds the leading-axis chunk (and therefore the rows every
+    # sequential multiply gets to batch over) at production shapes.
     g = (d + k) // k
     one = _plain_const(1, params)
     bshape = ct.c0.shape
     xk = power(k)
+    # stack the baby powers in two halves, freeing the power dict's high
+    # entries (never needed as multiply operands: the tree only reads
+    # powers <= ceil(k/2)) before the low stack forms — peak transient
+    # drops from 4k to 3k ciphertext planes
+    k_lo = min(k, (k + 1) // 2 + 1)
+    if k_lo < k:
+        Ph0 = jnp.stack([powers[j].c0 for j in range(k_lo, k)])
+        Ph1 = jnp.stack([powers[j].c1 for j in range(k_lo, k)])
+        for j in range(k_lo, k):
+            del powers[j]
+    else:
+        Ph0 = Ph1 = None
     P0 = jnp.stack([jnp.broadcast_to(one.c0, bshape)]
-                   + [powers[j].c0 for j in range(1, k)])
+                   + [powers[j].c0 for j in range(1, k_lo)])
     P1 = jnp.stack([jnp.zeros(bshape, dtype=jnp.uint32)]
-                   + [powers[j].c1 for j in range(1, k)])
+                   + [powers[j].c1 for j in range(1, k_lo)])
     powers.clear()
     tabs = [_block_coeff_tables(c, k, g, params.moduli) for c in polys]
-    Cw = jnp.concatenate([t[0] for t in tabs], axis=1)   # [k, nu*g, L]
-    Csh = jnp.concatenate([t[1] for t in tabs], axis=1)
-    B0, B1 = _combine_blocks_kernel(P0, P1, Cw, Csh,
-                                    params.ct_basis.q.reshape(-1, 1))
-    del P0, P1
-    jax.block_until_ready(B0)
-    B0r = B0.reshape((nu, g) + tuple(bshape))
-    B1r = B1.reshape((nu, g) + tuple(bshape))
-    blocks = [nr.NarrowCiphertext(c0=B0r[:, b], c1=B1r[:, b], params=params)
-              for b in range(g)]
-    del B0, B1, B0r, B1r
+    qcol = params.ct_basis.q.reshape(-1, 1)
 
     ypows = {1: xk}
 
@@ -639,20 +651,46 @@ def _eval_poly_ps_impl(ct: nr.NarrowCiphertext, polys: tuple,
             ypows[j] = mul(half, half)
         return ypows[j]
 
-    def combine(bs):
+    def combine(bs, step):
+        """Balanced tree over bs; bs[i] carries y^(step*i).  The multiplier
+        ypow(step*half) has the plain batch shape while bs carry the [nu]
+        axis — the multiply broadcasts, so the tree costs len(bs)-1
+        multiplies regardless of nu."""
         if len(bs) == 1:
             return bs[0]
         half = 1
         while half * 2 < len(bs):
             half *= 2
-        lo = combine(bs[:half])
-        hi = combine(bs[half:])
-        # hi carries the [nu] axis; ypow has the plain batch shape — the
-        # multiply broadcasts, so the tree costs (g-1) multiplies total
-        # regardless of nu
-        return nr.ct_add(lo, mul(hi, ypow(half)))
+        lo = combine(bs[:half], step)
+        hi = combine(bs[half:], step)
+        return nr.ct_add(lo, mul(hi, ypow(step * half)))
 
-    return combine(blocks)
+    G0 = 1
+    while G0 * G0 < g:
+        G0 *= 2
+    seg_results = []
+    for s in range(0, g, G0):
+        lo_b, hi_b = s, min(s + G0, g)
+        Cw = jnp.concatenate([t[0][:, lo_b:hi_b] for t in tabs], axis=1)
+        Csh = jnp.concatenate([t[1][:, lo_b:hi_b] for t in tabs], axis=1)
+        B0, B1 = _combine_blocks_kernel(P0, P1, Cw[:k_lo], Csh[:k_lo],
+                                        qcol)
+        if Ph0 is not None:
+            H0, H1 = _combine_blocks_kernel(Ph0, Ph1, Cw[k_lo:],
+                                            Csh[k_lo:], qcol)
+            B0 = w32.mod_add32(B0, H0, qcol)
+            B1 = w32.mod_add32(B1, H1, qcol)
+            del H0, H1
+        ns = hi_b - lo_b
+        B0r = B0.reshape((nu, ns) + tuple(bshape))
+        B1r = B1.reshape((nu, ns) + tuple(bshape))
+        blocks = [nr.NarrowCiphertext(c0=B0r[:, b], c1=B1r[:, b],
+                                      params=params) for b in range(ns)]
+        del B0, B1, B0r, B1r
+        seg_results.append(combine(blocks, 1))
+        del blocks
+    del P0, P1, Ph0, Ph1
+    return combine(seg_results, G0)
 
 
 # ---------------------------------------------------------------------------
@@ -849,15 +887,33 @@ def dbfv_bootstrap_split(ct: nr.NarrowDbfvCiphertext, bk: NarrowBootKey,
                                    params=ct.params)
 
 
+def _ps_planes(k: int, nu: int) -> float:
+    """P-S peak live set in ciphertext-component planes per leading row
+    (1 plane = [rest, L, n] u32).  Segmented two-level combine
+    (_eval_poly_ps_impl): max(stacking transient 3k, steady 2k stacks +
+    segment blocks/results 2*nu*(G0 + g/G0)) + multiply temps."""
+    g = k  # g = ceil((deg+1)/k) ~ k for the sqrt split
+    G0 = 1
+    while G0 * G0 < g:
+        G0 *= 2
+    steady = 2 * k + 2 * nu * (G0 + -(-g // G0))
+    return max(3 * k, steady) + 16
+
+
 def _auto_chunk(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
-                budget_bytes: int = 5 << 30, nu: int = 1) -> int | None:
-    """Leading-axis chunk size bounding the P-S working set (stacked baby
-    powers P0/P1 + giant blocks B0/B1 + the power dict ~ 3 copies of
-    [k, chunk, rest] u32 pairs) to ~`budget_bytes` of HBM.  Rounded so the
-    leading axis splits into EQUAL chunks (unequal tails would double the
-    jit shapes and the cold compile).  None = no chunking needed."""
+                budget_bytes: int | None = None, nu: int = 1) -> int | None:
+    """Leading-axis chunk size bounding the P-S working set (see
+    _ps_planes) to ~`budget_bytes` of HBM (EXACTO_TPU_PS_BUDGET_GB
+    overrides; default 7).  Rounded so the leading axis splits into EQUAL
+    chunks (unequal tails would double the jit shapes and the cold
+    compile).  None = no chunking needed."""
     if ct.c0.ndim <= 2:
         return None
+    if budget_bytes is None:
+        import os
+
+        budget_bytes = int(float(os.environ.get(
+            "EXACTO_TPU_PS_BUDGET_GB", "7")) * (1 << 30))
     lead = ct.c0.shape[0]
     zmin, zmax = bk.params.z_bounds
     k = max(1, int(np.ceil(np.sqrt(zmax - zmin + 1))))
@@ -865,10 +921,8 @@ def _auto_chunk(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
     for s in ct.c0.shape[1:-2]:
         rest *= s
     boot = bk.params.boot
-    # u32 copies per leading row: power dict + P0/P1 stacks (~4) plus the
-    # giant blocks B0/B1 (~2 per polynomial being evaluated)
-    per_row = (k * rest * len(boot.moduli) * boot.ring_degree * 4
-               * (4 + 2 * nu))
+    plane = rest * len(boot.moduli) * boot.ring_degree * 4
+    per_row = int(_ps_planes(k, nu)) * plane
     chunk = max(1, budget_bytes // per_row)
     if chunk >= lead:
         return None
@@ -889,7 +943,8 @@ def ps_working_set(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
     for s in ct.c0.shape[1:-2]:
         rest *= s
     boot = bk.params.boot
-    per_row = k * rest * len(boot.moduli) * boot.ring_degree * 4 * 2 * 3
+    per_row = int(_ps_planes(k, 1)) * rest * len(boot.moduli) \
+        * boot.ring_degree * 4
     if chunk is None:
         chunk = _auto_chunk(ct, bk) or lead
     return {"chunk": chunk, "n_chunks": -(-lead // chunk),
