@@ -276,3 +276,42 @@ def test_sharded_ntt_matches_local():
     got_i = sn.ntt_inv32_sharded(got_f, moduli, mesh)
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(x))
+
+
+def test_remote_dma_ring_collectives():
+    """Tier-3 in-kernel remote-DMA ring collectives (pltpu
+    make_async_remote_copy).  Multi-chip assertions need >= 2 TPU devices;
+    on this box (1 chip / CPU test mesh) the kernel is validated as the
+    degenerate 1-device ring on the real chip by tools/run manually — here
+    we assert the module's guards and skip the device path off-TPU."""
+    import jax
+
+    from exacto_tpu.parallel import make_mesh
+    from exacto_tpu.parallel import remote_dma as rd
+
+    if jax.default_backend() != "tpu":
+        # CPU/interpret cannot issue remote DMAs; assert the guard works
+        import pytest
+
+        if rd.pltpu is None:
+            with pytest.raises(NotImplementedError):
+                rd.ring_permute(np.zeros((2, 128), np.uint32),
+                                make_mesh({"limb": 1}))
+        pytest.skip("remote DMA needs the TPU backend")
+
+    import jax.numpy as jnp
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh({"limb": n_dev})
+    d = 8 * n_dev
+    x = jnp.asarray(np.arange(d * 256, dtype=np.uint32).reshape(d, 256))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("limb", None)))
+    full = rd.ring_all_gather(xs, mesh)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(x))
+    if n_dev > 1:
+        y = rd.ring_permute(xs, mesh)
+        got = np.asarray(y).reshape(n_dev, 8, 256)
+        want = np.asarray(x).reshape(n_dev, 8, 256)
+        np.testing.assert_array_equal(got, np.roll(want, 1, axis=0))
