@@ -215,7 +215,16 @@ def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
     ceil(log2 k) + ceil(log2 g) + 1 ct-ct multiply levels; each level
     multiplies the noise by ~t_boot * 2n; the prologue contributes fresh +
     plain-mul-by-c1' (l1 ~ n*q'/2) + trace doubling (log2 n steps).
-    Q_boot must cover noise + log2 t_boot + margin."""
+    Q_boot must cover noise + log2 t_boot + margin.
+
+    Chain mode (t_boot_factor > 1, the value-reducing split bootstrap)
+    additionally budgets ONE follow-on dBFV multiply at the orig params —
+    the whole point of the value-reducing refresh is that the output can
+    be multiplied again, so its post-switch-down noise must fit the orig
+    multiply's growth factor ~ t_orig * 2n * d on top of the decrypt
+    budget.  (Round-4 TPU run at n=4096 decrypted the refresh correctly
+    but FAILED the follow-on multiply with the old sizing: post_boot_ok
+    true, followon_op_ok false — this term is that missing headroom.)"""
     n = orig.bfv.ring_degree
     qp = 1 << e_lo
     span = qp * (hamming + 1) + 2
@@ -229,6 +238,10 @@ def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
     per_mul = np.log2(t_boot) + np.log2(2 * n) + 2
     prologue = 4 + (np.log2(n) + e_lo - 1) + np.log2(n)
     need = prologue + depth * per_mul + np.log2(t_boot) + margin_bits
+    if t_boot_factor > 1:
+        t_orig = orig.bfv.plain_modulus
+        need += (np.log2(max(2, t_orig)) + np.log2(2 * n)
+                 + np.log2(max(2, orig.num_digits)) + 2)
     orig_bits = sum(np.log2(m) for m in orig.bfv.moduli)
     l_extra = max(1, int(np.ceil((need - orig_bits) / 30.0)))
     a_boot = l_extra + len(orig.bfv.moduli) + 1
