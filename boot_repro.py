@@ -54,6 +54,9 @@ def main():
                     help="multiply-chain depth for the chain demo")
     ap.add_argument("--no-report", action="store_true")
     ap.add_argument("--skip-chain", action="store_true")
+    ap.add_argument("--skip-warm", action="store_true",
+                    help="skip the second (warm-timing) refresh pass — "
+                         "parity checks only, for time-boxed reruns")
     ap.add_argument("--allow-insecure", action="store_true",
                     help="accept boot parameter sets below 128-bit security "
                          "(required for the n=4096 u64 demo profiles; the "
@@ -184,10 +187,13 @@ def main():
         got2 = np.asarray(nr.dbfv_decrypt(fresh, sk), dtype=np.uint64)
         ok2 = bool(np.array_equal(got2, wrap(a * b)))
 
-        tb = time.time()
-        fresh2 = nb.dbfv_bootstrap(prod, bk, chunk=args.chunk)
-        jax.block_until_ready(fresh2.limbs.c0)
-        warm = time.time() - tb
+        if args.skip_warm:
+            warm = cold  # cold pass stands in (compile-inflated; labeled)
+        else:
+            tb = time.time()
+            fresh2 = nb.dbfv_bootstrap(prod, bk, chunk=args.chunk)
+            jax.block_until_ready(fresh2.limbs.c0)
+            warm = time.time() - tb
 
         if args.profile == "u64":
             # the u64 profile is a value-PRESERVING noise refresh: post-
