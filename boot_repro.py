@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -63,6 +64,16 @@ def main():
                          "gate in narrow_boot.make_boot_params refuses them "
                          "otherwise)")
     args = ap.parse_args()
+
+    if args.n >= 16384 and "EXACTO_TPU_PALLAS_NTT" not in os.environ:
+        # the fused NTT's per-stage twiddle tables ([L, log2 n, n] per
+        # direction) blow past the remote compile service's request-size
+        # limit at large n (observed: HTTP 413 at n=32768, ~130 MB of
+        # constants); the jnp NTT's [L, n] tables fit.  Opt back in with
+        # EXACTO_TPU_PALLAS_NTT=1.
+        os.environ["EXACTO_TPU_PALLAS_NTT"] = "0"
+        print(json.dumps({"note": "pallas NTT disabled for n>=16384 "
+                          "(compile-payload limit)"}), flush=True)
 
     import jax
 
