@@ -1807,17 +1807,16 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
 
     c10, c11 = ct1.limbs.c0, ct1.limbs.c1
     c20, c21 = ct2.limbs.c0, ct2.limbs.c1
-    shadows = (ct1.limbs.c0c, ct1.limbs.c1c, ct2.limbs.c0c, ct2.limbs.c1c)
-    if all(s is not None for s in shadows) and len(bp.moduli) == 2:
-        # one fused extend kernel over all four components (stacked into
-        # the batch axis): same compose+NTT program, 1 launch instead of 4
-        e_all = _extend_to_aux(bp, None, res=jnp.stack(shadows, axis=0))
-        e10, e11, e20, e21 = (e_all[0], e_all[1], e_all[2], e_all[3])
-    else:
-        e10 = _extend_to_aux(bp, c10, res=ct1.limbs.c0c)
-        e11 = _extend_to_aux(bp, c11, res=ct1.limbs.c1c)
-        e20 = _extend_to_aux(bp, c20, res=ct2.limbs.c0c)
-        e21 = _extend_to_aux(bp, c21, res=ct2.limbs.c1c)
+    # NOTE (round 4, measured): stacking the four extends (and the two
+    # eval-out HPS calls) into single kernel launches REGRESSED the full
+    # step 37 -> 45 ms at batch 256 — the jnp.stack materializes an extra
+    # copy of every operand and serializes four independent kernels behind
+    # one barrier, costing more than the saved launches.  Keep the four
+    # independent calls.
+    e10 = _extend_to_aux(bp, c10, res=ct1.limbs.c0c)
+    e11 = _extend_to_aux(bp, c11, res=ct1.limbs.c1c)
+    e20 = _extend_to_aux(bp, c20, res=ct2.limbs.c0c)
+    e21 = _extend_to_aux(bp, c21, res=ct2.limbs.c1c)
 
     def kara(al, bl, q, qi):
         """Karatsuba limb convolution on python lists of eval-domain polys:
@@ -1933,12 +1932,10 @@ def _dbfv_mul_impl(ct1: NarrowDbfvCiphertext, ct2: NarrowDbfvCiphertext,
         tq = tuple(_fold_eval(ctb, t, reps, d) for t in tq)
         tp = tuple(_fold_eval(auxb, t, reps, d) for t in tp)
 
-    # components 0 and 1 share one HPS kernel launch (stacked into batch);
+    r0 = _narrow_hps_scale(bp, tq[0], tp[0])
+    r1 = _narrow_hps_scale(bp, tq[1], tp[1])
     # c2 stays in coefficient form: it feeds straight into the gadget
     # decomposition, skipping its output NTT and the gadget's input INTT.
-    r01 = _narrow_hps_scale(bp, jnp.stack((tq[0], tq[1]), axis=0),
-                            jnp.stack((tp[0], tp[1]), axis=0))
-    r0, r1 = r01[0], r01[1]
     r2_res = _narrow_hps_scale(bp, tq[2], tp[2], eval_out=False)
 
     out = relinearize32(NarrowCiphertext(c0=r0, c1=r1, params=bp), rlk,
