@@ -199,7 +199,8 @@ def main():
         ok2 = bool(np.array_equal(got2, wrap(a * b)))
 
         if args.skip_warm:
-            warm = cold  # cold pass stands in (compile-inflated; labeled)
+            warm = cold  # cold pass stands in (compile-inflated; labeled
+            # via "warm_is_cold" in the row and the report)
         else:
             tb = time.time()
             fresh2 = nb.dbfv_bootstrap(prod, bk, chunk=args.chunk)
@@ -227,6 +228,8 @@ def main():
                "hbm_peak_gb": hbm_peak_gb(), **ws,
                "mul1_ok": ok1, "post_boot_ok": ok2, "followon_op_ok": ok3,
                "followon_op": "add" if args.profile == "u64" else "mul"}
+        if args.skip_warm:
+            row["warm_is_cold"] = True  # compile-inflated stand-in
         sweep.append(row)
         print(json.dumps(row), flush=True)
 
@@ -302,10 +305,12 @@ def main():
         ]
         for row in sweep:
             lines.append(
-                "| warm refresh, batch %d | %.2f s total, %.3f s/value, "
+                "| %s refresh, batch %d | %.2f s total, %.3f s/value, "
                 "%.1f ms/limb amortized; P-S working set ~%s GB "
                 "(chunk %s x %s passes) |"
-                % (row["batch"], row["bootstrap_warm_s"],
+                % ("COLD-standing-in-for-warm (--skip-warm)"
+                   if row.get("warm_is_cold") else "warm",
+                   row["batch"], row["bootstrap_warm_s"],
                    row["amortized_s_per_value"],
                    row["amortized_ms_per_limb"], row["ps_working_set_gb"],
                    row["chunk"], row["n_chunks"]))

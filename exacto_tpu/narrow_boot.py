@@ -924,9 +924,16 @@ def _auto_chunk(ct: nr.NarrowCiphertext, bk: NarrowBootKey,
         return None
     if budget_bytes is None:
         import os
+        import warnings
 
-        budget_bytes = int(float(os.environ.get(
-            "EXACTO_TPU_PS_BUDGET_GB", "7")) * (1 << 30))
+        raw = os.environ.get("EXACTO_TPU_PS_BUDGET_GB", "7")
+        try:
+            gb = float(raw)
+        except ValueError:
+            warnings.warn("EXACTO_TPU_PS_BUDGET_GB=%r is not a number; "
+                          "using the 7 GB default" % raw)
+            gb = 7.0
+        budget_bytes = int(gb * (1 << 30))
     lead = ct.c0.shape[0]
     zmin, zmax = bk.params.z_bounds
     k = max(1, int(np.ceil(np.sqrt(zmax - zmin + 1))))

@@ -65,6 +65,12 @@ def ring_permute(x, mesh, axis: str = "limb"):
     """
     if pltpu is None:
         raise NotImplementedError("remote-DMA collectives need a TPU jaxlib")
+    if len(mesh.axis_names) != 1:
+        # the kernel passes (my+1) mod n_dev as a LOGICAL device id, which
+        # only equals the ring neighbor on a 1-D mesh; a multi-axis mesh
+        # needs the full mesh coordinates folded in
+        raise NotImplementedError(
+            "ring_permute requires a 1-D mesh (logical device ids)")
     n_dev = mesh.shape[axis]
 
     def body(xs):
