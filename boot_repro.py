@@ -65,15 +65,11 @@ def main():
                          "otherwise)")
     args = ap.parse_args()
 
-    if args.n >= 16384 and "EXACTO_TPU_PALLAS_NTT" not in os.environ:
-        # the fused NTT's per-stage twiddle tables ([L, log2 n, n] per
-        # direction) blow past the remote compile service's request-size
-        # limit at large n (observed: HTTP 413 at n=32768, ~130 MB of
-        # constants); the jnp NTT's [L, n] tables fit.  Opt back in with
-        # EXACTO_TPU_PALLAS_NTT=1.
-        os.environ["EXACTO_TPU_PALLAS_NTT"] = "0"
-        print(json.dumps({"note": "pallas NTT disabled for n>=16384 "
-                          "(compile-payload limit)"}), flush=True)
+    # Round-5: the fused NTT's per-stage twiddle tables now ride as device
+    # operands (NarrowBasis.stw_*), so large n no longer blows the remote
+    # compile service's payload limit (round-4 saw HTTP 413 at n=32768 from
+    # ~130 MB of inlined constants) — the fused kernels stay ON at any n.
+    # EXACTO_TPU_PALLAS_NTT=0 still opts out.
 
     import jax
 

@@ -312,6 +312,36 @@ def _inv_kernel(consts_ref, x_ref, tw_ref, twsh_ref, out_ref, *, n, bt,
 
 
 @lru_cache(maxsize=None)
+def _limb_consts(moduli: tuple, n: int):
+    """Per-limb scalar consts [L, 10] only (no stage twiddle tables):
+    (q, qinv_neg, r1, r1_sh, one_sh[=shoup(1)], ninv_fuse, ninv_fuse_sh,
+    ninv_mont, ninv_mont_sh, 0).  Scalars inline into HLO harmlessly; the
+    big [L, S, n] twiddle tables must instead arrive as DEVICE OPERANDS
+    (NarrowBasis.stw_*) — inlining them as jit constants blows the remote
+    compile service's payload limit at n >= 16384 (observed HTTP 413)."""
+    consts = np.zeros((len(moduli), 10), dtype=np.uint32)
+    for li, q in enumerate(moduli):
+        tabs = w32.build_psi_tables32(q, n)
+        cc = w32.mont_consts32(q)
+        ninv_mont = int(tabs["ninv"])
+        consts[li] = (q, cc["qinv_neg"], cc["r1"], cc["r1_shoup"],
+                      cc["one_shoup"], int(tabs["ninv_fuse"]),
+                      int(tabs["ninv_fuse_shoup"]), ninv_mont,
+                      (ninv_mont << 32) // q, 0)
+    return consts
+
+
+def stage_twiddle_indices(n: int):
+    """[logn, n] gather indices into psi_std / ipsi_std for the per-stage
+    twiddle vectors (shared by _stage_tables and NarrowBasis.create)."""
+    logn = n.bit_length() - 1
+    j = np.arange(n)
+    fidx = np.stack([(1 << s) + (j >> (logn - s)) for s in range(logn)])
+    iidx = np.stack([(n >> (s + 1)) + (j >> (s + 1)) for s in range(logn)])
+    return fidx, iidx
+
+
+@lru_cache(maxsize=None)
 def _stage_tables(moduli: tuple, n: int):
     """Host precompute: per-stage full twiddle vectors, STANDARD form with
     Shoup companions (floor(w*2^32/q)).
@@ -331,23 +361,14 @@ def _stage_tables(moduli: tuple, n: int):
     fwd_sh = np.zeros((len(moduli), logn, n), dtype=np.uint32)
     inv = np.zeros((len(moduli), logn, n), dtype=np.uint32)
     inv_sh = np.zeros((len(moduli), logn, n), dtype=np.uint32)
-    consts = np.zeros((len(moduli), 10), dtype=np.uint32)
-    j = np.arange(n)
+    fidx, iidx = stage_twiddle_indices(n)
     for li, q in enumerate(moduli):
         tabs = w32.build_psi_tables32(q, n)
-        cc = w32.mont_consts32(q)
-        fidx = [(1 << s) + (j >> (logn - s)) for s in range(logn)]
-        iidx = [(n >> (s + 1)) + (j >> (s + 1)) for s in range(logn)]
-        for s in range(logn):
-            fwd[li, s] = tabs["psi_std"][fidx[s]]
-            fwd_sh[li, s] = tabs["psi_shoup"][fidx[s]]
-            inv[li, s] = tabs["ipsi_std"][iidx[s]]
-            inv_sh[li, s] = tabs["ipsi_shoup"][iidx[s]]
-        ninv_mont = int(tabs["ninv"])  # n^{-1} R mod q
-        consts[li] = (q, cc["qinv_neg"], cc["r1"], cc["r1_shoup"],
-                      cc["one_shoup"], int(tabs["ninv_fuse"]),
-                      int(tabs["ninv_fuse_shoup"]), ninv_mont,
-                      (ninv_mont << 32) // q, 0)
+        fwd[li] = tabs["psi_std"][fidx]
+        fwd_sh[li] = tabs["psi_shoup"][fidx]
+        inv[li] = tabs["ipsi_std"][iidx]
+        inv_sh[li] = tabs["ipsi_shoup"][iidx]
+    consts = _limb_consts(moduli, n)
     sh = (len(moduli), logn, R, _LANES)
     return (fwd.reshape(sh), fwd_sh.reshape(sh), inv.reshape(sh),
             inv_sh.reshape(sh), consts)
@@ -442,21 +463,34 @@ def _build(kernel_name: str, n: int, bt: int, L: int, nb: int,
 
 
 def _run(kernel_name: str, x, moduli: tuple, pre: str, post: str,
-         interpret: bool):
-    """x: u32 [..., L, n] -> same shape."""
+         interpret: bool, tables=None):
+    """x: u32 [..., L, n] -> same shape.
+
+    `tables` = (tw, tw_shoup) DEVICE arrays [L, logn, n] (e.g.
+    NarrowBasis.stw_fwd/stw_fwd_sh) — passing them keeps the big twiddle
+    tables out of the traced HLO (see _limb_consts); without them the
+    host-side _stage_tables constants are inlined (fine for small n /
+    direct kernel tests)."""
     n = x.shape[-1]
     L = x.shape[-2]
     batch = x.shape[:-2]
     B = 1
     for s in batch:
         B *= s
-    fwd_tw, fwd_sh, inv_tw, inv_sh, consts_np = _stage_tables(moduli, n)
-    if kernel_name == "fwd":
-        tw, twsh = jnp.asarray(fwd_tw), jnp.asarray(fwd_sh)
-    else:
-        tw, twsh = jnp.asarray(inv_tw), jnp.asarray(inv_sh)
-    consts = jnp.asarray(_consts_with_scalars(consts_np, pre, post))
+    logn = n.bit_length() - 1
     R = n // _LANES
+    if tables is not None:
+        tw, twsh = tables
+        tw = tw.reshape(L, logn, R, _LANES)
+        twsh = twsh.reshape(L, logn, R, _LANES)
+        consts_np = _limb_consts(moduli, n)
+    else:
+        fwd_tw, fwd_sh, inv_tw, inv_sh, consts_np = _stage_tables(moduli, n)
+        if kernel_name == "fwd":
+            tw, twsh = jnp.asarray(fwd_tw), jnp.asarray(fwd_sh)
+        else:
+            tw, twsh = jnp.asarray(inv_tw), jnp.asarray(inv_sh)
+    consts = jnp.asarray(_consts_with_scalars(consts_np, pre, post))
     bt = _pick_bt(B, n)
     lazy = max(moduli) < (1 << 30)
     call = _build(kernel_name, n, bt, L, B // bt, lazy, interpret)
@@ -618,12 +652,14 @@ def _build_extend3(n: int, bt: int, A: int, nb: int, glob: tuple,
     )
 
 
-def extend3_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False):
+def extend3_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False,
+                      tables=None):
     """Batch-gridded fused base extension Q -> P + aux forward NTTs.
 
     Same contract as `extend_ntt_fused` (res [..., 2, n] standard residues
     -> [..., A, n] NTT-Montgomery aux polys), but the compose prologue runs
-    once per batch tile instead of once per aux limb."""
+    once per batch tile instead of once per aux limb.  `tables` = the aux
+    basis (stw_fwd, stw_fwd_sh) device arrays [A, logn, n]."""
     ct_moduli, aux_moduli = tuple(ct_moduli), tuple(aux_moduli)
     n = res.shape[-1]
     batch = res.shape[:-2]
@@ -631,6 +667,7 @@ def extend3_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False):
     for s in batch:
         B *= s
     A = len(aux_moduli)
+    logn = n.bit_length() - 1
     consts_np, glob_items = _extend_tables(ct_moduli, aux_moduli, n)
     g = dict(glob_items)
     glob = (g["q0"], g["q1"], g["inv0"], g["inv0_sh"], g["inv1"],
@@ -639,12 +676,16 @@ def extend3_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False):
     # wants (p, qinv_neg, r2, r1, r1_sh, one_sh)
     aux = tuple(tuple(int(row[k]) for k in (0, 1, 2, 4, 5, 6))
                 for row in consts_np)
-    fwd_tw, fwd_sh, _, _, _ = _stage_tables(aux_moduli, n)
     R = n // _LANES
+    if tables is not None:
+        fwd_tw = tables[0].reshape(A, logn, R, _LANES)
+        fwd_sh = tables[1].reshape(A, logn, R, _LANES)
+    else:
+        fwd_tw, fwd_sh, _, _, _ = _stage_tables(aux_moduli, n)
+        fwd_tw, fwd_sh = jnp.asarray(fwd_tw), jnp.asarray(fwd_sh)
     bt = _pick_bt_hps(B, n)
     call = _build_extend3(n, bt, A, B // bt, glob, aux, interpret)
-    out = call(res.reshape(B, 2, R, _LANES), jnp.asarray(fwd_tw),
-               jnp.asarray(fwd_sh))
+    out = call(res.reshape(B, 2, R, _LANES), fwd_tw, fwd_sh)
     return out.reshape(*batch, A, n)
 
 
@@ -837,12 +878,14 @@ def _pick_bt_hps(B: int, n: int) -> int:
 
 
 def hps_ntt_fused(t_q, t_p, ct_moduli, aux_moduli, p: int, *,
-                  eval_out=True, interpret=False):
+                  eval_out=True, interpret=False, tables=None):
     """Fused HPS scale: INTT(both bases) + glue + output forward NTT.
 
     t_q: eval-Montgomery u32 [..., 2, n]; t_p: [..., A, n].  Returns
     round(p*t/Q) mod q_i as eval-Montgomery [..., 2, n] (eval_out) or
-    standard coefficient residues (for the c2 component)."""
+    standard coefficient residues (for the c2 component).  `tables` =
+    (ct_fwd, ct_fwd_sh, ct_inv, ct_inv_sh, aux_inv, aux_inv_sh) device
+    arrays ([2|A, logn, n])."""
     ct_moduli, aux_moduli = tuple(ct_moduli), tuple(aux_moduli)
     n = t_q.shape[-1]
     batch = t_q.shape[:-2]
@@ -850,20 +893,27 @@ def hps_ntt_fused(t_q, t_p, ct_moduli, aux_moduli, p: int, *,
     for s in batch:
         B *= s
     A = len(aux_moduli)
-    glob_items = _hps_tables(ct_moduli, aux_moduli, p, n)
-    ftwq, ftwq_sh, itwq, itwq_sh, _ = _stage_tables(ct_moduli, n)
-    _, _, itwp, itwp_sh, _ = _stage_tables(aux_moduli, n)
+    logn = n.bit_length() - 1
     R = n // _LANES
+    glob_items = _hps_tables(ct_moduli, aux_moduli, p, n)
+    if tables is not None:
+        ftwq, ftwq_sh, itwq, itwq_sh, itwp, itwp_sh = (
+            t.reshape(-1, logn, R, _LANES) for t in tables)
+    else:
+        ftwq, ftwq_sh, itwq, itwq_sh, _ = _stage_tables(ct_moduli, n)
+        _, _, itwp, itwp_sh, _ = _stage_tables(aux_moduli, n)
+        ftwq, ftwq_sh, itwq, itwq_sh, itwp, itwp_sh = (
+            jnp.asarray(t) for t in
+            (ftwq, ftwq_sh, itwq, itwq_sh, itwp, itwp_sh))
     bt = _pick_bt_hps(B, n)
     call = _build_hps(n, bt, A, B // bt, glob_items, eval_out, interpret)
     out = call(t_q.reshape(B, 2, R, _LANES), t_p.reshape(B, A, R, _LANES),
-               jnp.asarray(itwq), jnp.asarray(itwq_sh), jnp.asarray(itwp),
-               jnp.asarray(itwp_sh), jnp.asarray(ftwq), jnp.asarray(ftwq_sh))
+               itwq, itwq_sh, itwp, itwp_sh, ftwq, ftwq_sh)
     return out.reshape(*batch, 2, n)
 
 
 def relin_dot_fused(res, rlk0, rlk1, ct_moduli, gadget_base: int,
-                    gadget_digits: int, *, interpret=False):
+                    gadget_digits: int, *, interpret=False, tables=None):
     """Whole gadget-keyswitch inner product fused into one kernel.
 
     res: c2's standard-form coefficient residues u32 [..., L, n] (L=2 ct
@@ -877,28 +927,35 @@ def relin_dot_fused(res, rlk0, rlk1, ct_moduli, gadget_base: int,
     for s in batch:
         B *= s
     L = len(ct_moduli)
+    logn = n.bit_length() - 1
     log_b = gadget_base.bit_length() - 1
     consts_np, glob_items = _extend_tables(ct_moduli, ct_moduli, n)
-    fwd_tw, fwd_sh, _, _, _ = _stage_tables(ct_moduli, n)
     R = n // _LANES
+    if tables is not None:
+        fwd_tw = tables[0].reshape(L, logn, R, _LANES)
+        fwd_sh = tables[1].reshape(L, logn, R, _LANES)
+    else:
+        fwd_tw, fwd_sh, _, _, _ = _stage_tables(ct_moduli, n)
+        fwd_tw, fwd_sh = jnp.asarray(fwd_tw), jnp.asarray(fwd_sh)
     bt = _pick_bt(B, n)
     call = _build_relin(n, bt, L, B // bt, gadget_digits, log_b, glob_items,
                         interpret)
     a0, a1 = call(jnp.asarray(consts_np), res.reshape(B, L, R, _LANES),
                   rlk0.reshape(gadget_digits, L, R, _LANES),
                   rlk1.reshape(gadget_digits, L, R, _LANES),
-                  jnp.asarray(fwd_tw), jnp.asarray(fwd_sh))
+                  fwd_tw, fwd_sh)
     return (a0.reshape(*batch, L, n), a1.reshape(*batch, L, n))
 
 
-def extend_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False):
+def extend_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False,
+                     tables=None):
     """Centered base extension Q -> P fused with the aux forward NTT.
 
     res: standard-form coefficient residues u32 [..., 2, n] over the two
     ct primes.  Returns NTT-Montgomery aux polys [..., A, n] — exactly
     `from_coeff_residues32(aux_basis, centered_reduce(compose(res)))` in one
     kernel (the narrow engine's `_extend_to_aux`, minus every intermediate
-    HBM round trip)."""
+    HBM round trip).  `tables` = aux (stw_fwd, stw_fwd_sh) [A, logn, n]."""
     ct_moduli, aux_moduli = tuple(ct_moduli), tuple(aux_moduli)
     n = res.shape[-1]
     batch = res.shape[:-2]
@@ -906,23 +963,35 @@ def extend_ntt_fused(res, ct_moduli, aux_moduli, *, interpret=False):
     for s in batch:
         B *= s
     A = len(aux_moduli)
+    logn = n.bit_length() - 1
     consts_np, glob_items = _extend_tables(ct_moduli, aux_moduli, n)
-    fwd_tw, fwd_sh, _, _, _ = _stage_tables(aux_moduli, n)
     R = n // _LANES
+    if tables is not None:
+        fwd_tw = tables[0].reshape(A, logn, R, _LANES)
+        fwd_sh = tables[1].reshape(A, logn, R, _LANES)
+    else:
+        fwd_tw, fwd_sh, _, _, _ = _stage_tables(aux_moduli, n)
+        fwd_tw, fwd_sh = jnp.asarray(fwd_tw), jnp.asarray(fwd_sh)
     bt = _pick_bt(B, n)
     call = _build_extend(n, bt, A, B // bt, glob_items, interpret)
     out = call(jnp.asarray(consts_np), res.reshape(B, 2, R, _LANES),
-               jnp.asarray(fwd_tw), jnp.asarray(fwd_sh))
+               fwd_tw, fwd_sh)
     return out.reshape(*batch, A, n)
 
 
-def ntt_fwd32_fused(x, moduli, *, to_mont=False, interpret=False):
-    """Forward negacyclic NTT, fused; optionally fold to-Montgomery in."""
+def ntt_fwd32_fused(x, moduli, *, to_mont=False, interpret=False,
+                    tables=None):
+    """Forward negacyclic NTT, fused; optionally fold to-Montgomery in.
+    `tables` = (stw_fwd, stw_fwd_sh) device arrays [L, logn, n]."""
     return _run("fwd", x, tuple(moduli),
-                "to_mont" if to_mont else "identity", "identity", interpret)
+                "to_mont" if to_mont else "identity", "identity", interpret,
+                tables)
 
 
-def ntt_inv32_fused(x, moduli, *, from_mont=False, interpret=False):
-    """Inverse negacyclic NTT, fused; optionally fold from-Montgomery in."""
+def ntt_inv32_fused(x, moduli, *, from_mont=False, interpret=False,
+                    tables=None):
+    """Inverse negacyclic NTT, fused; optionally fold from-Montgomery in.
+    `tables` = (stw_inv, stw_inv_sh) device arrays [L, logn, n]."""
     return _run("inv", x, tuple(moduli), "identity",
-                "ninv_fuse" if from_mont else "ninv_mont", interpret)
+                "ninv_fuse" if from_mont else "ninv_mont", interpret,
+                tables)
