@@ -51,6 +51,10 @@ def main():
                     help="comma list of value-batch sizes to sweep")
     ap.add_argument("--chunk", type=int, default=None,
                     help="bootstrap leading-axis chunk (default auto)")
+    ap.add_argument("--t-boot-factor", type=int, default=None,
+                    help="t_boot headroom factor (default: profile auto)")
+    ap.add_argument("--margin-bits", type=int, default=20,
+                    help="noise-model margin for auto_boot_sizes")
     ap.add_argument("--chain", type=int, default=4,
                     help="multiply-chain depth for the chain demo")
     ap.add_argument("--no-report", action="store_true")
@@ -119,11 +123,13 @@ def main():
         d = 8
 
     bparams = nb.auto_boot_params(orig, e_lo=e_lo, hamming=hamming,
+                                  margin_bits=args.margin_bits,
                                   allow_insecure=args.allow_insecure,
-                                  split_base=split_base)
+                                  split_base=split_base,
+                                  t_boot_factor=args.t_boot_factor)
     zmin, zmax = bparams.z_bounds
     degree = zmax - zmin
-    secure = bparams.security_bits >= 128
+    secure = bparams.security_bits_h >= 128
     print(json.dumps({
         "profile": args.profile, "n": n, "d": d, "base": 2,
         "p": "2^64" if pmod == 1 << 64 else pmod,
@@ -136,6 +142,7 @@ def main():
         "split_base": split_base,
         "n_split_digits": bparams.n_split_digits,
         "security_bits": round(bparams.security_bits, 1),
+        "security_bits_h": round(bparams.security_bits_h, 1),
         "secure_128": secure}), flush=True)
 
     t = time.time()
@@ -254,6 +261,7 @@ def main():
         "metric": "dBFV mul->bootstrap->mul chain (%s, n=%d, d=%d)"
                   % (args.profile, n, d),
         "security_bits": round(bparams.security_bits, 1),
+        "security_bits_h": round(bparams.security_bits_h, 1),
         "secure_128": secure,
         "bootstrap_cold_s": round(phases.get("bootstrap_cold_s", 0), 2),
         "sweep": sweep, "chain": chain_row, "parity_all": ok_all,
@@ -263,13 +271,13 @@ def main():
 
     if not args.no_report:
         sec_note = (
-            "%.1f bits (>= 128: %s) — n vs log2(Q_boot) per the calibrated "
-            "HE-standard estimator, UNIFORM-TERNARY secret model; the "
-            "sparse h=%d secret used for the phase bound admits "
-            "hybrid/combinatorial attacks below this figure (h is a "
-            "performance/correctness harness setting, mirroring the "
-            "reference's own toy bootstrap keys)."
-            % (bparams.security_bits, secure, hamming))
+            "uniform-ternary %.1f bits; h-aware %.1f bits (min with the "
+            "h=%d sparse-secret MITM bound, params/security.py:"
+            "sparse_mitm_bits — the >=128 gate keys on this lower figure; "
+            ">= 128: %s).  Real hybrid attacks can undercut both estimates "
+            "by some bits, so secure rows clear the gate with margin."
+            % (bparams.security_bits, bparams.security_bits_h, hamming,
+               secure))
         lines = [
             "# Narrow-native dBFV bootstrap — profile %s, n=%d"
             % (args.profile, n),

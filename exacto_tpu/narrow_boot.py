@@ -86,6 +86,10 @@ class NarrowBootParams:
     # estimated bit security of the boot scheme (n vs log2 Q_boot, uniform-
     # ternary model; sparse secrets are weaker — see make_boot_params)
     security_bits: float = flax.struct.field(pytree_node=False, default=0.0)
+    # h-aware figure: min(uniform estimate, sparse-secret MITM bound for
+    # the actual hamming weight) — the gate keys on THIS one
+    security_bits_h: float = flax.struct.field(pytree_node=False,
+                                               default=0.0)
     # split_base > 0 selects the VALUE-REDUCING bootstrap: each limb value
     # m < t/2 is split into its base-`split_base` digits, scattered to
     # higher limbs (digit i of limb j lands at limb j + i*log2(split_base)
@@ -143,6 +147,32 @@ def trace_elements(n: int) -> list:
     return elems
 
 
+def _pick_t_boot(span: int, factor: int, residue_mod: int = 0) -> int:
+    """Smallest usable prime t_boot >= span * factor.
+
+    residue_mod > 0 (the digit-split chain path) constrains t_boot == 1
+    (mod t_orig): the split rounding table stores round(dig * t_boot /
+    t_orig), whose fractional part eps(dig) becomes the dominant refresh
+    residual ~eps * Delta_boot after the reinterpret (round-4 diagnosis,
+    reports/bootstrap_n4096_u64chain.md).  With t_boot == 1 mod t_orig,
+    eps(dig) = dig / t_orig <= (split_base-1)/t_orig instead of a generic
+    ~1/2 — measured on the CPU analog (tools/diag_split_residual.py):
+    -4.1 bits of refresh noise at ZERO parameter cost, and the factor-32
+    variant's -0.89 bits matches the eps * Delta_boot model exactly,
+    confirming mechanism (a) over (b)."""
+    t = span * max(1, factor) + 1
+    if residue_mod:
+        t = ((t - 2) // residue_mod + 1) * residue_mod + 1
+        while not hm.is_prime(t):
+            t += residue_mod
+    else:
+        while not hm.is_prime(t):
+            t += 1
+    if t >= 1 << 31:
+        raise InvalidParam("t_boot exceeds the narrow-prime range")
+    return t
+
+
 def make_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
                      l_extra: int, a_boot: int,
                      t_boot: int | None = None,
@@ -177,37 +207,36 @@ def make_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
             f"raise e_lo)")
     if t_boot is None:
         span = qp * (hamming + 1) + 2  # z_max - z_min + 1 margin
-        # t_boot_factor > 1 leaves headroom between the reinterpret noise
-        # floor Q/(2 t_boot) and the next multiply's Delta/2 budget — the
-        # digit-split chain path needs ~8x (64-term limb convolutions
-        # amplify the floor by ~d)
-        t_boot = span * max(1, t_boot_factor) + 1
-        while not hm.is_prime(t_boot):
-            t_boot += 1
-        if t_boot >= 1 << 31:
-            raise InvalidParam("t_boot exceeds the narrow-prime range")
+        t_boot = _pick_t_boot(span, t_boot_factor,
+                              bfv.plain_modulus if split_base else 0)
     used = tuple(bfv.moduli) + tuple(bfv.aux_moduli)
     extra = nr.find_narrow_primes(n, l_extra + a_boot, 30, skip=used)
     boot_ct = tuple(bfv.moduli) + extra[:l_extra]
     boot_aux = extra[l_extra:]
     boot = nr.NarrowParams.create(n, t_boot, boot_ct, boot_aux,
                                   sigma=bfv.sigma, gadget_mode="rns")
-    from .params.security import estimate_security_bits
+    from .params.security import (estimate_security_bits,
+                                  estimate_security_bits_h)
 
     log2_qboot = float(sum(np.log2(m) for m in boot_ct))
     est = float(estimate_security_bits(n, log2_qboot))
-    if est < 128.0 and not allow_insecure:
+    est_h = float(estimate_security_bits_h(n, log2_qboot, hamming))
+    if est_h < 128.0 and not allow_insecure:
         raise InvalidParam(
-            f"boot scheme is ~{est:.0f}-bit secure (n={n}, "
-            f"log2 Q_boot={log2_qboot:.0f}) — below 128; pass "
-            f"allow_insecure=True for toy/demo parameters or raise n")
+            f"boot scheme is ~{est_h:.0f}-bit secure (n={n}, "
+            f"log2 Q_boot={log2_qboot:.0f}, uniform-ternary {est:.0f} bits, "
+            f"h={hamming} sparse-MITM {est_h:.0f} bits; the gate keys on "
+            f"the lower) — below 128; pass allow_insecure=True for "
+            f"toy/demo parameters or raise n / the hamming weight")
     return NarrowBootParams(e_lo=e_lo, hamming=hamming, orig=orig, boot=boot,
-                            security_bits=est, split_base=split_base)
+                            security_bits=est, security_bits_h=est_h,
+                            split_base=split_base)
 
 
 def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
                     hamming: int, margin_bits: int = 20,
-                    t_boot_factor: int = 1) -> tuple:
+                    t_boot_factor: int = 1,
+                    split_base: int = 0) -> tuple:
     """(l_extra, a_boot) from a worst-case noise model — ROADMAP item 6
     (round 1 hand-sized these per profile).
 
@@ -228,9 +257,8 @@ def auto_boot_sizes(orig: nr.NarrowDbfvParams, e_lo: int,
     n = orig.bfv.ring_degree
     qp = 1 << e_lo
     span = qp * (hamming + 1) + 2
-    t_boot = span * max(1, t_boot_factor) + 1
-    while not hm.is_prime(t_boot):
-        t_boot += 1
+    t_boot = _pick_t_boot(span, t_boot_factor,
+                          orig.bfv.plain_modulus if split_base else 0)
     degree = span - 1
     k = max(1, int(np.ceil(np.sqrt(degree + 1))))
     g = (degree + k) // k
@@ -254,13 +282,15 @@ def auto_boot_params(orig: nr.NarrowDbfvParams, e_lo: int, hamming: int,
                      split_base: int = 0,
                      t_boot_factor: int | None = None) -> NarrowBootParams:
     """make_boot_params with l_extra / a_boot derived from the noise model.
-    split_base selects the value-reducing (chain) bootstrap; its t_boot
-    factor defaults to 8 (reinterpret-noise headroom for the next limb
-    convolution)."""
+    split_base selects the value-reducing (chain) bootstrap; its t_boot is
+    then congruent 1 mod t_orig (see _pick_t_boot — kills the reinterpret
+    rounding residual) with a default factor of 16 for extra headroom
+    before the next limb convolution."""
     if t_boot_factor is None:
-        t_boot_factor = 8 if split_base else 1
+        t_boot_factor = 16 if split_base else 1
     l_extra, a_boot = auto_boot_sizes(orig, e_lo, hamming, margin_bits,
-                                      t_boot_factor=t_boot_factor)
+                                      t_boot_factor=t_boot_factor,
+                                      split_base=split_base)
     return make_boot_params(orig, e_lo=e_lo, hamming=hamming,
                             l_extra=l_extra, a_boot=a_boot,
                             allow_insecure=allow_insecure,

@@ -397,6 +397,20 @@ def _consts_with_scalars(consts: np.ndarray, pre_sel: str, post_sel: str):
     return out
 
 
+def _mosaic_params() -> dict:
+    """kwargs for pallas_call raising Mosaic's scoped-VMEM limit.
+
+    The default scoped limit is 16 MB; v5e has 128 MB of physical VMEM, and
+    the ILP-bound kernels (relin: sequential digit loop) want tiles well
+    past 16 MB once EXACTO_TPU_VMEM_MB raises the tile budget.  The limit
+    is a guard, not an allocation — Mosaic still only uses what the tiling
+    needs."""
+    if pltpu is None:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 << 20)}
+
+
 def _bt_override(B: int, vmem_cap: int) -> int | None:
     """EXACTO_TPU_BT=k forces the batch-tile size (perf sweeps); clamped to
     a divisor of B and to the kernel's VMEM-derived cap so a leftover env
@@ -422,9 +436,26 @@ def _bt_override(B: int, vmem_cap: int) -> int | None:
     return bt
 
 
+def _vmem_budget() -> int:
+    """VMEM byte budget for tile sizing.  Default 4 MB is deliberately
+    conservative; EXACTO_TPU_VMEM_MB overrides for tuning sweeps (v5e has
+    far more VMEM than 4 MB — bigger tiles mean fewer grid programs and
+    more independent element rows in flight, which is what the ILP-bound
+    kernels like relin need)."""
+    import os
+
+    raw = os.environ.get("EXACTO_TPU_VMEM_MB")
+    if raw:
+        try:
+            return int(float(raw) * (1 << 20))
+        except ValueError:
+            pass
+    return 4 << 20
+
+
 def _pick_bt(B: int, n: int) -> int:
     """Largest divisor of B with tile + temps comfortably inside VMEM."""
-    cap = max(1, (4 << 20) // (n * 4 * 8))  # ~8 live tiles within 4MB
+    cap = max(1, _vmem_budget() // (n * 4 * 8))  # ~8 live tiles
     ov = _bt_override(B, cap)
     if ov is not None:
         return ov
@@ -459,6 +490,7 @@ def _build(kernel_name: str, n: int, bt: int, L: int, nb: int,
                                memory_space=vmem),
         out_shape=jax.ShapeDtypeStruct((nb * bt, L, R, _LANES), jnp.uint32),
         interpret=interpret,
+        **_mosaic_params(),
     )
 
 
@@ -554,6 +586,7 @@ def _build_extend(n: int, bt: int, A: int, nb: int, glob_items: tuple,
                                memory_space=vmem),
         out_shape=jax.ShapeDtypeStruct((nb * bt, A, R, _LANES), jnp.uint32),
         interpret=interpret,
+        **_mosaic_params(),
     )
 
 
@@ -591,6 +624,7 @@ def _build_relin(n: int, bt: int, L: int, nb: int, D: int, log_b: int,
         ],
         out_shape=[out, out],
         interpret=interpret,
+        **_mosaic_params(),
     )
 
 
@@ -649,6 +683,7 @@ def _build_extend3(n: int, bt: int, A: int, nb: int, glob: tuple,
                                memory_space=vmem),
         out_shape=jax.ShapeDtypeStruct((nb * bt, A, R, _LANES), jnp.uint32),
         interpret=interpret,
+        **_mosaic_params(),
     )
 
 
@@ -862,12 +897,31 @@ def _build_hps(n: int, bt: int, A: int, nb: int, glob_items: tuple,
                                memory_space=vmem),
         out_shape=jax.ShapeDtypeStruct((nb * bt, 2, R, _LANES), jnp.uint32),
         interpret=interpret,
+        **_mosaic_params(),
     )
 
 
 def _pick_bt_hps(B: int, n: int) -> int:
     """Divisor of B sized for the HPS kernel's ~24 live [bt, n] tiles."""
-    cap = max(1, (6 << 20) // (n * 4 * 24))
+    cap = max(1, (_vmem_budget() * 6 // 4) // (n * 4 * 24))
+    ov = _bt_override(B, cap)
+    if ov is not None:
+        return ov
+    bt = min(B, cap)
+    while B % bt:
+        bt -= 1
+    return bt
+
+
+def _pick_bt_relin(B: int, n: int) -> int:
+    """Tile size for the relin kernel — ~12 live [bt, n] tiles, with a 4x
+    larger budget than _pick_bt.  The kernel's sequential digit loop (D
+    dependent NTT+dot rounds per tile) leaves the VPU ILP-starved at small
+    tiles; measured on v5e, bt 32 -> 128 cut the relin phase ~40%+ (the
+    grid runs SEQUENTIALLY on the one TensorCore, so fewer/bigger programs
+    are strictly less overhead while VMEM fits — Mosaic's scoped limit is
+    raised accordingly in _mosaic_params)."""
+    cap = max(1, (6 * _vmem_budget()) // (n * 4 * 12))
     ov = _bt_override(B, cap)
     if ov is not None:
         return ov
@@ -937,7 +991,7 @@ def relin_dot_fused(res, rlk0, rlk1, ct_moduli, gadget_base: int,
     else:
         fwd_tw, fwd_sh, _, _, _ = _stage_tables(ct_moduli, n)
         fwd_tw, fwd_sh = jnp.asarray(fwd_tw), jnp.asarray(fwd_sh)
-    bt = _pick_bt(B, n)
+    bt = _pick_bt_relin(B, n)
     call = _build_relin(n, bt, L, B // bt, gadget_digits, log_b, glob_items,
                         interpret)
     a0, a1 = call(jnp.asarray(consts_np), res.reshape(B, L, R, _LANES),

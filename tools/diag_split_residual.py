@@ -61,6 +61,10 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
+    from exacto_tpu import config as cfg
+
+    cfg.enable_persistent_cache()
+
     from exacto_tpu import narrow as nr
     from exacto_tpu import narrow_boot as nb
     from exacto_tpu.utils.noise import narrow_noise_inf
@@ -101,7 +105,6 @@ def main():
     variants = [
         ("factor8", 8, 0),
         ("factor32", 32, 0),
-        ("factor128", 128, 0),
         ("factor8_res1", 8, t_orig),
     ]
     print(json.dumps({"n": args.n, "t_orig": t_orig, "qprime": qp,
