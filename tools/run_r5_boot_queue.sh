@@ -10,12 +10,13 @@
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p logs
-export EXACTO_TPU_PS_BUDGET_GB=10
 timeout 10800 python -u boot_repro.py --profile u64chain --n 4096 \
     --allow-insecure --batch 2 --skip-chain \
     > logs/boot_u64chain_r5.log 2>&1
 echo "u64chain exit: $?"
-timeout 14400 python -u boot_repro.py --profile u64 --n 32768 \
-    --hamming 21 --e-lo 14 --batch 1 --skip-chain \
+# trace Galois keys at L=29/n=32768 are ~3.3 GB of the 16 GB HBM; keep
+# the P-S working-set budget at 8 GB so keys + operands + P-S fit
+EXACTO_TPU_PS_BUDGET_GB=8 timeout 14400 python -u boot_repro.py \
+    --profile u64 --n 32768 --hamming 21 --e-lo 14 --batch 1 --skip-chain \
     > logs/boot_u64_secure_r5.log 2>&1
 echo "secure u64 exit: $?"
