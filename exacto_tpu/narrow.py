@@ -73,16 +73,13 @@ class NarrowBasis:
     ninv_fuse_shoup: jnp.ndarray = None
     r1_shoup: jnp.ndarray = None    # [L] u32 (floor((2^32 mod q)*2^32/q))
     one_shoup: jnp.ndarray = None   # [L] u32 (floor(2^32/q))
-    # per-STAGE twiddle vectors for the fused Pallas NTT kernels
-    # [L, logn, n]: fed to the kernels as DEVICE OPERANDS so they never
-    # inline into the traced HLO — inlined [L, S, n] constants blow the
-    # remote compile service's payload limit at n >= 16384 (HTTP 413,
-    # the round-4 large-n fallback; ROADMAP round-4 notes).  None when
-    # the Pallas kernels can't apply (n < 256).
-    stw_fwd: jnp.ndarray = None
-    stw_fwd_sh: jnp.ndarray = None
-    stw_inv: jnp.ndarray = None
-    stw_inv_sh: jnp.ndarray = None
+    # NOTE on the fused kernels' per-stage twiddle operands: they are
+    # DERIVED IN-TRACE from psi_std/ipsi_std by slice+repeat
+    # (ops.ntt_pallas32.stage_tables_from_basis) — device operands keep
+    # them out of the HLO (n >= 16384 compile-payload limit), and deriving
+    # per program rather than persisting [L, S, n] per basis avoids the
+    # HBM blowup when the bootstrap's modswitch chain instantiates params
+    # at every prime level (round-5 RESOURCE_EXHAUSTED lesson).
 
     @classmethod
     def create(cls, moduli, n: int) -> "NarrowBasis":
@@ -95,23 +92,7 @@ class NarrowBasis:
         consts = [w32.mont_consts32(m) for m in moduli]
         tabs = [w32.build_psi_tables32(m, n) for m in moduli]
         u32a = lambda vals: jnp.asarray(np.array(vals, dtype=np.uint32))
-        stw = {}
-        if n >= 256:  # the fused kernels' minimum (ops.ntt_pallas32)
-            from .ops.ntt_pallas32 import stage_twiddle_indices
-
-            fidx, iidx = stage_twiddle_indices(n)
-            stw = {
-                "stw_fwd": jnp.asarray(
-                    np.stack([t["psi_std"][fidx] for t in tabs])),
-                "stw_fwd_sh": jnp.asarray(
-                    np.stack([t["psi_shoup"][fidx] for t in tabs])),
-                "stw_inv": jnp.asarray(
-                    np.stack([t["ipsi_std"][iidx] for t in tabs])),
-                "stw_inv_sh": jnp.asarray(
-                    np.stack([t["ipsi_shoup"][iidx] for t in tabs])),
-            }
         return cls(
-            **stw,
             moduli=moduli, ring_degree=n,
             q=u32a(moduli),
             qinv=u32a([c["qinv_neg"] for c in consts]),
@@ -379,10 +360,10 @@ def from_coeff_residues32(basis, x):
     if _use_fused_ntt(basis):
         from .ops import ntt_pallas32 as npal
 
-        return npal.ntt_fwd32_fused(x, basis.moduli, to_mont=True,
-                                    interpret=jax.default_backend() != "tpu",
-                                    tables=(basis.stw_fwd,
-                                            basis.stw_fwd_sh))
+        return npal.ntt_fwd32_fused(
+            x, basis.moduli, to_mont=True,
+            interpret=jax.default_backend() != "tpu",
+            tables=npal.stage_tables_from_basis(basis, "fwd"))
     q, qi = basis.b1()
     xm = w32.to_mont32(x, q, qi, basis.r2.reshape(-1, 1))
     return w32.ntt_fwd32(xm, basis.psi_std, basis.q, basis.qinv,
@@ -394,10 +375,10 @@ def to_coeff_residues32(basis, x):
     if _use_fused_ntt(basis):
         from .ops import ntt_pallas32 as npal
 
-        return npal.ntt_inv32_fused(x, basis.moduli, from_mont=True,
-                                    interpret=jax.default_backend() != "tpu",
-                                    tables=(basis.stw_inv,
-                                            basis.stw_inv_sh))
+        return npal.ntt_inv32_fused(
+            x, basis.moduli, from_mont=True,
+            interpret=jax.default_backend() != "tpu",
+            tables=npal.stage_tables_from_basis(basis, "inv"))
     # the final multiply fuses from-Montgomery in (Shoup form: n^{-1} R^{-1})
     return w32.ntt_inv32(x, basis.ipsi_std, basis.ninv_fuse, basis.q,
                          basis.qinv, ipsi_shoup=basis.ipsi_shoup,
@@ -1105,11 +1086,10 @@ def _extend_to_aux(params: NarrowParams, poly, res=None):
     from .ops import ntt_pallas32 as npal
 
     if _config.pallas_extend_enabled() and npal.supported(params.ring_degree):
-        auxb_ = params.aux_basis
         return npal.extend3_ntt_fused(
             res, params.moduli, params.aux_moduli,
             interpret=jax.default_backend() != "tpu",
-            tables=(auxb_.stw_fwd, auxb_.stw_fwd_sh))
+            tables=npal.stage_tables_from_basis(params.aux_basis, "fwd"))
     x = _compose_pair(params, res)  # u64 pair in [0, Q)
     cst = _narrow_hps_consts(params.moduli, params.aux_moduli,
                              params.plain_modulus)
@@ -1137,12 +1117,13 @@ def _narrow_hps_scale(params: NarrowParams, t_q, t_p, eval_out=True):
     if (_config.pallas_hps_enabled() and npal.supported(params.ring_degree)
             and len(params.moduli) == 2):
         ctb_, auxb_ = params.ct_basis, params.aux_basis
-        return npal.hps_ntt_fused(t_q, t_p, params.moduli, params.aux_moduli,
-                                  params.plain_modulus, eval_out=eval_out,
-                                  interpret=jax.default_backend() != "tpu",
-                                  tables=(ctb_.stw_fwd, ctb_.stw_fwd_sh,
-                                          ctb_.stw_inv, ctb_.stw_inv_sh,
-                                          auxb_.stw_inv, auxb_.stw_inv_sh))
+        return npal.hps_ntt_fused(
+            t_q, t_p, params.moduli, params.aux_moduli,
+            params.plain_modulus, eval_out=eval_out,
+            interpret=jax.default_backend() != "tpu",
+            tables=(*npal.stage_tables_from_basis(ctb_, "fwd"),
+                    *npal.stage_tables_from_basis(ctb_, "inv"),
+                    *npal.stage_tables_from_basis(auxb_, "inv")))
     cst = _narrow_hps_consts(params.moduli, params.aux_moduli,
                              params.plain_modulus)
     ctb, auxb = params.ct_basis, params.aux_basis
@@ -1347,7 +1328,7 @@ def _keyswitch_dot32(params: NarrowParams, poly, k0, k1, res=None):
         return npal.relin_dot_fused(
             res, k0, k1, params.moduli, params.gadget_base,
             params.gadget_digits, interpret=jax.default_backend() != "tpu",
-            tables=(basis.stw_fwd, basis.stw_fwd_sh))
+            tables=npal.stage_tables_from_basis(basis, "fwd"))
     if params.gadget_mode == "rns":
         digits = _rns_digits32(params, poly, res=res)
     else:

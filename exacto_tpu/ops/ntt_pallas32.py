@@ -333,12 +333,50 @@ def _limb_consts(moduli: tuple, n: int):
 
 def stage_twiddle_indices(n: int):
     """[logn, n] gather indices into psi_std / ipsi_std for the per-stage
-    twiddle vectors (shared by _stage_tables and NarrowBasis.create)."""
+    twiddle vectors (host-side _stage_tables path)."""
     logn = n.bit_length() - 1
     j = np.arange(n)
     fidx = np.stack([(1 << s) + (j >> (logn - s)) for s in range(logn)])
     iidx = np.stack([(n >> (s + 1)) + (j >> (s + 1)) for s in range(logn)])
     return fidx, iidx
+
+
+def stage_tables_from_basis(basis, which: str):
+    """Per-stage twiddle operands [L, logn, n] derived IN-TRACE from the
+    basis' [L, n] psi tables by slice+repeat (pure broadcast/reshape — no
+    gather, no inline constants).
+
+    Why in-trace instead of persistent NarrowBasis fields: the tables must
+    be jit OPERANDS (inlined constants blow the remote compile payload at
+    n >= 16384, HTTP 413), but persisting [L, S, n] per basis OOMs the
+    chip when the bootstrap's modswitch chain materializes params at
+    every prime level (observed RESOURCE_EXHAUSTED, round-5 first
+    u64chain attempt).  Derived here, the tables are transient per
+    compiled program, deduplicated by XLA CSE across calls, and cost one
+    broadcast per program execution.
+
+    Index identities (see stage_twiddle_indices): CT stage s reads
+    psi[2^s + (j >> (logn-s))] — i.e. psi[2^s : 2^(s+1)] with each entry
+    repeated n >> s times; GS stage s reads ipsi[(n >> (s+1)) + (j >>
+    (s+1))] — ipsi[n>>(s+1) : n>>s] with each entry repeated 2^(s+1)
+    times."""
+    if which == "fwd":
+        tabs = (basis.psi_std, basis.psi_shoup)
+    else:
+        tabs = (basis.ipsi_std, basis.ipsi_shoup)
+    n = tabs[0].shape[-1]
+    logn = n.bit_length() - 1
+    out = []
+    for tab in tabs:
+        if which == "fwd":
+            stages = [jnp.repeat(tab[:, (1 << s):(2 << s)], n >> s, axis=1)
+                      for s in range(logn)]
+        else:
+            stages = [jnp.repeat(tab[:, (n >> (s + 1)):(n >> s)],
+                                 1 << (s + 1), axis=1)
+                      for s in range(logn)]
+        out.append(jnp.stack(stages, axis=1))  # [L, logn, n]
+    return tuple(out)
 
 
 @lru_cache(maxsize=None)
