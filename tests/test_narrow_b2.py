@@ -151,3 +151,46 @@ def test_b2_mul_chain_then_bootstrap(b2_chain_setup):
     got2 = np.asarray(nr.dbfv_decrypt(out2, sk), dtype=np.uint64)
     assert np.array_equal(got2, want * np.array([3, 5], dtype=np.uint64)
                           % (1 << 8))
+
+
+def test_pick_t_boot_residue():
+    """Digit-split t_boot is prime AND == 1 mod t_orig (round-5 fix for
+    the reinterpret rounding residual — the eps(dig) error collapses to
+    dig/t_orig); the non-split path just takes the next prime."""
+    from exacto_tpu.ring import hostmath as hm
+
+    t = nb._pick_t_boot(163842, 16, 2048)
+    assert hm.is_prime(t) and t % 2048 == 1 and t >= 163842 * 16
+    t2 = nb._pick_t_boot(73730, 1, 0)
+    assert hm.is_prime(t2) and t2 >= 73730
+    # auto path at the chain profile shape: same residue property
+    orig = _b2_params(256, 16, t=2048)
+    bp = nb.auto_boot_params(orig, e_lo=15, hamming=2,
+                             allow_insecure=True, split_base=4)
+    assert bp.boot.plain_modulus % 2048 == 1
+
+
+def test_security_h_aware_bounds():
+    """security_bits_h = min(uniform, sparse-MITM); the gate keys on it
+    (VERDICT r4 weak #5)."""
+    from exacto_tpu.params.security import (estimate_security_bits,
+                                            estimate_security_bits_h,
+                                            sparse_mitm_bits)
+
+    # sparse secret caps security regardless of n/Q
+    assert sparse_mitm_bits(32768, 8) < 80
+    assert sparse_mitm_bits(32768, 21) > 128
+    assert sparse_mitm_bits(4096, 4096) == float("inf") or \
+        sparse_mitm_bits(4096, 2048) > 1000  # dense: bound vacuous
+    u = estimate_security_bits(32768, 570)
+    assert estimate_security_bits_h(32768, 570, 8) == \
+        min(u, sparse_mitm_bits(32768, 8))
+    assert estimate_security_bits_h(32768, 570, None) == u
+    # the gate refuses an h=8 scheme whose uniform figure would pass
+    orig = _b2_params(256, 16)
+    with pytest.raises(InvalidParam, match="MITM|secure"):
+        nb.make_boot_params(orig, e_lo=13, hamming=4, l_extra=10,
+                            a_boot=13)
+    bp = nb.make_boot_params(orig, e_lo=13, hamming=4, l_extra=10,
+                             a_boot=13, allow_insecure=True)
+    assert bp.security_bits_h <= bp.security_bits
