@@ -13,8 +13,10 @@ WAIT_PID=$1
 if [ -n "$WAIT_PID" ]; then
     tail --pid="$WAIT_PID" -f /dev/null
 fi
-timeout 4200 python -u boot_repro.py --profile p256 --n 32768 \
-    --e-lo 11 --hamming 21 --batch 2 --chain 2 \
+NOW=$(date -u +%s)
+P256_STOP=$(date -ud '09:02' +%s)
+timeout $((P256_STOP - NOW)) python -u boot_repro.py --profile p256 \
+    --n 32768 --e-lo 11 --hamming 21 --batch 2 --chain 2 \
     > logs/boot_p256_secure_r5.log 2>&1
 echo "p256 exit: $?"
 NOW=$(date -u +%s)
